@@ -1,0 +1,224 @@
+"""Causal VAE building blocks (resnets, samplers, encoder/decoder blocks).
+
+TPU-native re-design of `video_vae/modeling_resnet.py` and
+`video_vae/modeling_block.py`: channels-last, pure functional streaming via
+the ``cache`` collection, per-frame group norm. Only the causal 3D variants
+used by the released checkpoints are implemented (the unused non-causal 2D
+twins are intentionally dropped, SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import CausalConv3d, GroupNorm, SpatialAttention
+
+__all__ = [
+    "ResnetBlock3D",
+    "Downsample2x",
+    "TemporalDownsample2x",
+    "Upsample2x",
+    "TemporalUpsample2x",
+    "DownEncoderBlock",
+    "UpDecoderBlock",
+    "MidBlock",
+]
+
+
+class ResnetBlock3D(nn.Module):
+    """GroupNorm -> SiLU -> CausalConv ×2 with (optionally projected) skip.
+
+    Reference: ``CausalResnetBlock3D`` `modeling_resnet.py:16-150`
+    (output_scale_factor=1 in all default configs).
+    """
+
+    out_channels: Optional[int] = None
+    num_groups: int = 32
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, is_init=True, temporal_chunk=False):
+        out_ch = self.out_channels or x.shape[-1]
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        h = GroupNorm(num_groups=self.num_groups, eps=self.eps,
+                      param_dtype=self.param_dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = CausalConv3d(out_ch, (3, 3, 3), name="conv1", **kw)(
+            h, is_init=is_init, temporal_chunk=temporal_chunk)
+
+        h = GroupNorm(num_groups=self.num_groups, eps=self.eps,
+                      param_dtype=self.param_dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = CausalConv3d(out_ch, (3, 3, 3), name="conv2", **kw)(
+            h, is_init=is_init, temporal_chunk=temporal_chunk)
+
+        if x.shape[-1] != out_ch:
+            x = CausalConv3d(out_ch, (1, 1, 1), name="conv_shortcut", **kw)(
+                x, is_init=is_init, temporal_chunk=temporal_chunk)
+
+        return x + h
+
+
+class Downsample2x(nn.Module):
+    """Spatial 2x down: causal conv k3 stride (1,2,2). Ref :291-336."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, is_init=True, temporal_chunk=False):
+        return CausalConv3d(
+            self.out_channels, (3, 3, 3), stride=(1, 2, 2), name="conv",
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )(x, is_init=is_init, temporal_chunk=temporal_chunk)
+
+
+class TemporalDownsample2x(nn.Module):
+    """Temporal 2x down: causal conv k3 stride (2,1,1). Ref :458-502."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, is_init=True, temporal_chunk=False):
+        return CausalConv3d(
+            self.out_channels, (3, 3, 3), stride=(2, 1, 1), name="conv",
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )(x, is_init=is_init, temporal_chunk=temporal_chunk)
+
+
+class Upsample2x(nn.Module):
+    """Spatial 2x up: conv to 4*C then spatial depth-to-space. Ref :570-617.
+
+    Channel order follows the reference rearrange
+    ``b (c p1 p2) t h w -> b c t (h p1) (w p2)``.
+    """
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, is_init=True, temporal_chunk=False):
+        y = CausalConv3d(
+            self.out_channels * 4, (3, 3, 3), name="conv",
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )(x, is_init=is_init, temporal_chunk=temporal_chunk)
+        b, t, h, w, _ = y.shape
+        c = self.out_channels
+        y = y.reshape(b, t, h, w, c, 2, 2)
+        y = y.transpose(0, 1, 2, 5, 3, 6, 4)  # b t h p1 w p2 c
+        return y.reshape(b, t, h * 2, w * 2, c)
+
+
+class TemporalUpsample2x(nn.Module):
+    """Temporal 2x up: conv to 2*C, temporal depth-to-space; drops the
+    duplicated first output frame on the initial chunk. Ref :678-728.
+    """
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, is_init=True, temporal_chunk=False):
+        y = CausalConv3d(
+            self.out_channels * 2, (3, 3, 3), name="conv",
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )(x, is_init=is_init, temporal_chunk=temporal_chunk)
+        b, t, h, w, _ = y.shape
+        c = self.out_channels
+        y = y.reshape(b, t, h, w, c, 2)
+        y = y.transpose(0, 1, 5, 2, 3, 4)  # b t p h w c
+        y = y.reshape(b, t * 2, h, w, c)
+        if is_init:
+            y = y[:, 1:]
+        return y
+
+
+class DownEncoderBlock(nn.Module):
+    """N resnets + optional spatial/temporal downsample. Ref block :467-541."""
+
+    out_channels: int
+    num_layers: int = 2
+    add_spatial_downsample: bool = True
+    add_temporal_downsample: bool = False
+    num_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, is_init=True, temporal_chunk=False):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        for i in range(self.num_layers):
+            x = ResnetBlock3D(
+                out_channels=self.out_channels, num_groups=self.num_groups,
+                name=f"resnets_{i}", **kw,
+            )(x, is_init=is_init, temporal_chunk=temporal_chunk)
+        if self.add_spatial_downsample:
+            x = Downsample2x(self.out_channels, name="downsampler", **kw)(
+                x, is_init=is_init, temporal_chunk=temporal_chunk)
+        if self.add_temporal_downsample:
+            x = TemporalDownsample2x(self.out_channels, name="temporal_downsampler", **kw)(
+                x, is_init=is_init, temporal_chunk=temporal_chunk)
+        return x
+
+
+class UpDecoderBlock(nn.Module):
+    """N resnets + optional spatial/temporal upsample. Ref block :690-759."""
+
+    out_channels: int
+    num_layers: int = 3
+    add_spatial_upsample: bool = True
+    add_temporal_upsample: bool = False
+    num_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, is_init=True, temporal_chunk=False):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        for i in range(self.num_layers):
+            x = ResnetBlock3D(
+                out_channels=self.out_channels, num_groups=self.num_groups,
+                name=f"resnets_{i}", **kw,
+            )(x, is_init=is_init, temporal_chunk=temporal_chunk)
+        if self.add_spatial_upsample:
+            x = Upsample2x(self.out_channels, name="upsampler", **kw)(
+                x, is_init=is_init, temporal_chunk=temporal_chunk)
+        if self.add_temporal_upsample:
+            x = TemporalUpsample2x(self.out_channels, name="temporal_upsampler", **kw)(
+                x, is_init=is_init, temporal_chunk=temporal_chunk)
+        return x
+
+
+class MidBlock(nn.Module):
+    """resnet -> [spatial attention -> resnet]. Ref :333-464."""
+
+    num_layers: int = 1
+    add_attention: bool = True
+    num_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, is_init=True, temporal_chunk=False):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = ResnetBlock3D(num_groups=self.num_groups, name="resnets_0", **kw)(
+            x, is_init=is_init, temporal_chunk=temporal_chunk)
+        for i in range(self.num_layers):
+            if self.add_attention:
+                x = SpatialAttention(
+                    num_groups=self.num_groups, name=f"attentions_{i}", **kw
+                )(x)
+            x = ResnetBlock3D(num_groups=self.num_groups, name=f"resnets_{i+1}", **kw)(
+                x, is_init=is_init, temporal_chunk=temporal_chunk)
+        return x

@@ -1,0 +1,331 @@
+"""Causal video VAE (MAGVIT-v2-like, 8x8x8 compression), TPU-native.
+
+Re-design of `video_vae/modeling_causal_vae.py` + `modeling_enc_dec.py`:
+
+* flax module with ``encode``/``decode`` methods; streaming state lives in the
+  ``cache`` variable collection (pure carry, jit-friendly) instead of mutable
+  deques.
+* chunked streaming and spatial tiling are host-level orchestration functions
+  (:func:`chunk_encode`, :func:`chunk_decode`, :func:`tiled_encode`,
+  :func:`tiled_decode`) around jitted per-window applies — each window shape
+  compiles once and is reused across the video.
+* Gaussian posterior helpers are pure functions (reference
+  ``DiagonalGaussianDistribution``, `modeling_enc_dec.py:369-422`).
+
+Default geometry matches the released checkpoint: 16-channel latents,
+(128, 256, 512, 512) channels, spatial+temporal downsample at levels 0-2
+(reference config `modeling_causal_vae.py:74-116` with
+``encoder_out_channels=16``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .blocks import DownEncoderBlock, MidBlock, UpDecoderBlock
+from .layers import CausalConv3d, GroupNorm
+
+__all__ = [
+    "VAEConfig",
+    "CausalVideoVAE",
+    "gaussian_sample",
+    "gaussian_mode",
+    "gaussian_kl",
+    "chunk_encode",
+    "chunk_decode",
+    "tiled_encode",
+    "tiled_decode",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    in_channels: int = 3
+    latent_channels: int = 16
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    encoder_layers_per_block: Tuple[int, ...] = (2, 2, 2, 2)
+    decoder_layers_per_block: Tuple[int, ...] = (3, 3, 3, 3)
+    spatial_down_sample: Tuple[bool, ...] = (True, True, True, False)
+    temporal_down_sample: Tuple[bool, ...] = (True, True, True, False)
+    num_groups: int = 32
+    downsample_scale: int = 8  # 8x spatial, 8x temporal (+1 frame)
+
+
+class Encoder(nn.Module):
+    """conv_in -> down blocks -> mid -> norm/silu/conv_out (2*z channels).
+
+    Reference: ``CausalVaeEncoder`` `modeling_enc_dec.py:55-198`.
+    """
+
+    config: VAEConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, is_init=True, temporal_chunk=False):
+        cfg = self.config
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        ck = dict(is_init=is_init, temporal_chunk=temporal_chunk)
+
+        x = CausalConv3d(cfg.block_out_channels[0], (3, 3, 3), name="conv_in", **kw)(x, **ck)
+        for i, ch in enumerate(cfg.block_out_channels):
+            x = DownEncoderBlock(
+                out_channels=ch,
+                num_layers=cfg.encoder_layers_per_block[i],
+                add_spatial_downsample=cfg.spatial_down_sample[i],
+                add_temporal_downsample=cfg.temporal_down_sample[i],
+                num_groups=cfg.num_groups,
+                name=f"down_blocks_{i}",
+                **kw,
+            )(x, **ck)
+        x = MidBlock(num_groups=cfg.num_groups, name="mid_block", **kw)(x, **ck)
+        x = GroupNorm(num_groups=cfg.num_groups, param_dtype=self.param_dtype,
+                      name="conv_norm_out")(x)
+        x = nn.silu(x)
+        x = CausalConv3d(2 * cfg.latent_channels, (3, 3, 3), name="conv_out", **kw)(x, **ck)
+        return x
+
+
+class Decoder(nn.Module):
+    """conv_in -> mid -> up blocks -> norm/silu/conv_out.
+
+    Reference: ``CausalVaeDecoder`` `modeling_enc_dec.py:201-366`.
+    """
+
+    config: VAEConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z, *, is_init=True, temporal_chunk=False):
+        cfg = self.config
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        ck = dict(is_init=is_init, temporal_chunk=temporal_chunk)
+        rev = list(reversed(cfg.block_out_channels))
+        # up-sampling flags are stored encoder-order in the config; decoder
+        # blocks 0..2 upsample (reference decoder_spatial_up_sample defaults)
+        spatial_up = (True, True, True, False)
+        temporal_up = (True, True, True, False)
+
+        z = CausalConv3d(rev[0], (3, 3, 3), name="conv_in", **kw)(z, **ck)
+        z = MidBlock(num_groups=cfg.num_groups, name="mid_block", **kw)(z, **ck)
+        for i, ch in enumerate(rev):
+            z = UpDecoderBlock(
+                out_channels=ch,
+                num_layers=cfg.decoder_layers_per_block[i],
+                add_spatial_upsample=spatial_up[i],
+                add_temporal_upsample=temporal_up[i],
+                num_groups=cfg.num_groups,
+                name=f"up_blocks_{i}",
+                **kw,
+            )(z, **ck)
+        z = GroupNorm(num_groups=cfg.num_groups, param_dtype=self.param_dtype,
+                      name="conv_norm_out")(z)
+        z = nn.silu(z)
+        z = CausalConv3d(cfg.in_channels, (3, 3, 3), name="conv_out", **kw)(z, **ck)
+        return z
+
+
+class CausalVideoVAE(nn.Module):
+    """Full VAE. ``encode`` returns moments [B,T',H',W',2*Zc]; ``decode``
+    returns pixels. Training ``__call__`` = encode -> sample -> decode.
+    """
+
+    config: VAEConfig = VAEConfig()
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        kw = dict(config=self.config, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.encoder = Encoder(name="encoder", **kw)
+        self.decoder = Decoder(name="decoder", **kw)
+        zc = self.config.latent_channels
+        ck = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.quant_conv = CausalConv3d(2 * zc, (1, 1, 1), name="quant_conv", **ck)
+        self.post_quant_conv = CausalConv3d(zc, (1, 1, 1), name="post_quant_conv", **ck)
+
+    def encode(self, x, *, is_init=True, temporal_chunk=False):
+        h = self.encoder(x, is_init=is_init, temporal_chunk=temporal_chunk)
+        return self.quant_conv(h, is_init=is_init, temporal_chunk=temporal_chunk)
+
+    def decode(self, z, *, is_init=True, temporal_chunk=False):
+        h = self.post_quant_conv(z, is_init=is_init, temporal_chunk=temporal_chunk)
+        return self.decoder(h, is_init=is_init, temporal_chunk=temporal_chunk)
+
+    def __call__(self, x, rng=None, sample_posterior=True):
+        moments = self.encode(x)
+        if sample_posterior:
+            z = gaussian_sample(moments, rng)
+        else:
+            z = gaussian_mode(moments)
+        dec = self.decode(z)
+        return moments, dec
+
+
+# ----------------------------------------------------------- posterior math
+def _split_moments(moments):
+    mean, logvar = jnp.split(moments, 2, axis=-1)
+    return mean, jnp.clip(logvar, -30.0, 20.0)
+
+
+def gaussian_sample(moments, rng):
+    mean, logvar = _split_moments(moments)
+    std = jnp.exp(0.5 * logvar)
+    return mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
+
+
+def gaussian_mode(moments):
+    return _split_moments(moments)[0]
+
+
+def gaussian_kl(moments):
+    """KL to standard normal, summed over (T,H,W,C) per batch element."""
+    mean, logvar = _split_moments(moments)
+    mean = mean.astype(jnp.float32)
+    logvar = logvar.astype(jnp.float32)
+    return 0.5 * jnp.sum(
+        mean ** 2 + jnp.exp(logvar) - 1.0 - logvar, axis=(1, 2, 3, 4)
+    )
+
+
+# -------------------------------------------------------- streaming windows
+def _window_starts(num_frames: int, window: int):
+    """Chunk boundaries: first window is ``window+1`` frames, then ``window``
+    (reference ``chunk_encode`` `modeling_causal_vae.py:310-341`)."""
+    init = window + 1
+    starts = [(0, min(init, num_frames))]
+    fid = init
+    while fid < num_frames:
+        starts.append((fid, min(fid + window, num_frames)))
+        fid += window
+    return starts
+
+
+def chunk_encode(model, variables, x, window_size: int = 16):
+    """Sliding-window encode with carry threading.
+
+    x: [B, T, H, W, 3] with (T-1) % downsample_scale == 0.
+    Returns moments [B, 1+(T-1)//8, H/8, W/8, 2*Zc].
+    """
+    spans = _window_starts(x.shape[1], window_size)
+    outs = []
+    cache = {}
+    for idx, (s, e) in enumerate(spans):
+        out, mut = model.apply(
+            {**variables, "cache": cache} if cache else variables,
+            x[:, s:e],
+            is_init=(idx == 0),
+            temporal_chunk=True,
+            method=model.encode,
+            mutable=["cache"],
+        )
+        cache = mut["cache"]
+        outs.append(out)
+    return jnp.concatenate(outs, axis=1)
+
+
+def chunk_decode(model, variables, z, window_size: int = 2):
+    """Sliding-window decode with carry threading (reference :346-374)."""
+    spans = _window_starts(z.shape[1], window_size)
+    outs = []
+    cache = {}
+    for idx, (s, e) in enumerate(spans):
+        out, mut = model.apply(
+            {**variables, "cache": cache} if cache else variables,
+            z[:, s:e],
+            is_init=(idx == 0),
+            temporal_chunk=True,
+            method=model.decode,
+            mutable=["cache"],
+        )
+        cache = mut["cache"]
+        outs.append(out)
+    return jnp.concatenate(outs, axis=1)
+
+
+# ------------------------------------------------------------------ tiling
+def _blend_weights(extent: int, dtype):
+    # reference blend_v/blend_h: weight ramp y/extent on the incoming tile
+    return (jnp.arange(extent, dtype=jnp.float32) / extent).astype(dtype)
+
+
+def _blend_axis(prev, cur, extent: int, axis: int):
+    """Linear crossfade of ``cur``'s leading ``extent`` slices with ``prev``'s
+    trailing ones along ``axis`` (reference blend_v/blend_h :397-407)."""
+    extent = min(prev.shape[axis], cur.shape[axis], extent)
+    if extent == 0:
+        return cur
+    w_shape = [1] * cur.ndim
+    w_shape[axis] = extent
+    w = _blend_weights(extent, cur.dtype).reshape(w_shape)
+    prev_tail = jax.lax.slice_in_dim(prev, prev.shape[axis] - extent, prev.shape[axis], axis=axis)
+    cur_head = jax.lax.slice_in_dim(cur, 0, extent, axis=axis)
+    blended = prev_tail * (1 - w) + cur_head * w
+    cur_rest = jax.lax.slice_in_dim(cur, extent, cur.shape[axis], axis=axis)
+    return jnp.concatenate([blended, cur_rest], axis=axis)
+
+
+def _tiled_apply(x, tile_in, tile_out, overlap_factor, fn):
+    """Shared overlap-tile-blend-crop scaffold for tiled encode/decode.
+
+    ``tile_in``: input tile size, ``tile_out``: output size of a full tile.
+    Axes: H=2, W=3 in [B, T, H, W, C].
+    """
+    overlap_in = int(tile_in * (1 - overlap_factor))
+    blend = int(tile_out * overlap_factor)
+    row_limit = tile_out - blend
+
+    rows = []
+    for i in range(0, x.shape[2], overlap_in):
+        row = []
+        for j in range(0, x.shape[3], overlap_in):
+            tile = x[:, :, i: i + tile_in, j: j + tile_in]
+            row.append(fn(tile))
+        rows.append(row)
+
+    result_rows = []
+    for i, row in enumerate(rows):
+        result_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = _blend_axis(rows[i - 1][j], tile, blend, axis=2)
+            if j > 0:
+                tile = _blend_axis(row[j - 1], tile, blend, axis=3)
+            result_row.append(tile[:, :, :row_limit, :row_limit])
+        result_rows.append(jnp.concatenate(result_row, axis=3))
+    return jnp.concatenate(result_rows, axis=2)
+
+
+def tiled_encode(model, variables, x, tile_sample_min_size=256,
+                 temporal_chunk=False, window_size=16, overlap_factor=0.25):
+    """Spatially tiled encode with 1/4-overlap linear blending (ref :409-466)."""
+    ds = model.config.downsample_scale
+    tile_latent = tile_sample_min_size // ds
+
+    def enc(tile):
+        if temporal_chunk:
+            return chunk_encode(model, variables, tile, window_size)
+        return model.apply(variables, tile, method=model.encode)
+
+    return _tiled_apply(x, tile_sample_min_size, tile_latent, overlap_factor, enc)
+
+
+def tiled_decode(model, variables, z, tile_sample_min_size=256,
+                 temporal_chunk=False, window_size=2, overlap_factor=0.25):
+    """Spatially tiled decode (reference :468-519)."""
+    ds = model.config.downsample_scale
+    tile_latent = tile_sample_min_size // ds
+
+    def dec(tile):
+        if temporal_chunk:
+            return chunk_decode(model, variables, tile, window_size)
+        return model.apply(variables, tile, method=model.decode)
+
+    return _tiled_apply(z, tile_latent, tile_sample_min_size, overlap_factor, dec)

@@ -4,15 +4,43 @@ Multi-chip sharding logic (fsdp/sp/dp axes) is exercised on CPU with
 ``xla_force_host_platform_device_count=8`` — the TPU-native answer to testing
 multi-node code without a cluster (SURVEY.md §4).
 
-Must run before jax is imported anywhere.
+The environment's sitecustomize registers a TPU PJRT plugin (and imports jax)
+at interpreter start, before pytest/conftest run — too late to switch
+platforms in-process. If that happened, re-exec pytest with the plugin
+registration disabled so the whole test session runs on the virtual CPU mesh.
 """
 
 import os
+import sys
 
-# Drop the axon TPU plugin registration (slow remote-compile tunnel) and force
-# an 8-device virtual CPU platform for fast, deterministic tests.
+_SENTINEL = "PYRAMID_FLOW_TPU_TEST_REEXEC"
+
+
+def _needs_reexec() -> bool:
+    if os.environ.get(_SENTINEL):
+        return False
+    jax_mod = sys.modules.get("jax")
+    if jax_mod is None:
+        return False
+    try:
+        return jax_mod.default_backend() != "cpu"
+    except Exception:
+        # backend not initialized yet; plugin registration may still win
+        return bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+
+
+if _needs_reexec():
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # disables TPU plugin registration
+    env[_SENTINEL] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

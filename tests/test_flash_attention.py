@@ -1,0 +1,109 @@
+"""Flash attention kernel vs naive XLA oracle (forward + gradients).
+
+Runs the Pallas kernels in interpreter mode on the CPU test mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyramid_flow_tpu.ops.flash_attention import (
+    INVALID_TIME,
+    attention_reference,
+    flash_attention,
+)
+
+
+def make_inputs(key, b=2, h=2, l=256, d=64, text_len=16, pad=10, frames=4):
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (b, h, l, d), jnp.float32) * 0.5
+    k = jax.random.normal(ks[1], (b, h, l, d), jnp.float32) * 0.5
+    v = jax.random.normal(ks[2], (b, h, l, d), jnp.float32)
+    # layout: [text_len text tokens (t=0, last `pad` invalid), latent tokens
+    # with frame times 1..frames]
+    n_lat = l - text_len
+    per_frame = n_lat // frames
+    times = np.zeros((b, l), np.int32)
+    times[:, text_len - pad: text_len] = int(INVALID_TIME)
+    for f in range(frames):
+        s = text_len + f * per_frame
+        e = text_len + (f + 1) * per_frame if f < frames - 1 else l
+        times[:, s:e] = f + 1
+    return q, k, v, jnp.asarray(times)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_forward_matches_reference(causal):
+    q, k, v, t = make_inputs(jax.random.PRNGKey(0))
+    out = flash_attention(q, k, v, t, causal=causal)
+    ref = attention_reference(q, k, v, t, causal=causal)
+    valid = np.asarray(t[0]) != int(INVALID_TIME)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :, valid], np.asarray(ref)[:, :, valid], atol=2e-5
+    )
+
+
+def test_forward_unpadded_short():
+    # L < block size exercises the padding path
+    q, k, v, t = make_inputs(jax.random.PRNGKey(1), l=192, text_len=64, pad=7)
+    out = flash_attention(q, k, v, t, causal=True)
+    ref = attention_reference(q, k, v, t, causal=True)
+    valid = np.asarray(t[0]) != int(INVALID_TIME)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :, valid], np.asarray(ref)[:, :, valid], atol=2e-5
+    )
+
+
+def test_temporal_causality_semantics():
+    """Latents at frame f must ignore later-frame keys; text (t=0) sees only
+    text and frame-0 tokens (there are none here), every latent sees text."""
+    key = jax.random.PRNGKey(2)
+    q, k, v, t = make_inputs(key, b=1, h=1, l=256, text_len=16, pad=0, frames=4)
+    out1 = flash_attention(q, k, v, t, causal=True)
+    # perturb v on the LAST frame's tokens: earlier-frame outputs unchanged
+    per_frame = (256 - 16) // 4
+    v2 = v.at[:, :, -per_frame:].set(0.0)
+    out2 = flash_attention(q, k, v2, t, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(out1)[:, :, : 256 - per_frame],
+        np.asarray(out2)[:, :, : 256 - per_frame],
+        atol=1e-6,
+    )
+    assert not np.allclose(out1[:, :, -per_frame:], out2[:, :, -per_frame:])
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_gradients_match_reference(causal):
+    q, k, v, t = make_inputs(jax.random.PRNGKey(3), b=1, h=2, l=256)
+    valid = (np.asarray(t[0]) != int(INVALID_TIME)).astype(np.float32)
+    w = jnp.asarray(valid)[None, None, :, None]
+
+    def loss_flash(q, k, v):
+        return jnp.sum((flash_attention(q, k, v, t, causal=causal) * w) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum((attention_reference(q, k, v, t, causal=causal) * w) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-4, rtol=1e-3,
+            err_msg=f"grad {name}",
+        )
+
+
+def test_bf16_forward():
+    q, k, v, t = make_inputs(jax.random.PRNGKey(4), l=128)
+    out = flash_attention(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16), t
+    )
+    ref = attention_reference(q, k, v, t)
+    assert out.dtype == jnp.bfloat16
+    valid = np.asarray(t[0]) != int(INVALID_TIME)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32)[:, :, valid],
+        np.asarray(ref)[:, :, valid],
+        atol=3e-2,
+    )

@@ -1,0 +1,123 @@
+"""Causal VAE tests.
+
+The key invariants (reference has no tests — SURVEY.md §4 defines these):
+1. geometry: 8x8x8 compression with the +1 leading frame convention
+2. temporal causality: changing future input frames never changes past outputs
+3. streaming equivalence: chunked encode/decode == monolithic (bit-tolerance)
+4. tiled encode/decode produce the right shapes and approximate the untiled path
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyramid_flow_tpu.models.vae.model import (
+    CausalVideoVAE,
+    VAEConfig,
+    chunk_decode,
+    chunk_encode,
+    gaussian_kl,
+    gaussian_mode,
+    gaussian_sample,
+    tiled_decode,
+    tiled_encode,
+)
+
+# Tiny config: same topology (4 levels, same down/up pattern), small widths.
+TINY = VAEConfig(
+    latent_channels=4,
+    block_out_channels=(8, 8, 16, 16),
+    encoder_layers_per_block=(1, 1, 1, 1),
+    decoder_layers_per_block=(1, 1, 1, 1),
+    num_groups=4,
+)
+
+
+@pytest.fixture(scope="module")
+def vae_and_params():
+    model = CausalVideoVAE(config=TINY)
+    x = jnp.zeros((1, 9, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, rng=jax.random.PRNGKey(1))
+    return model, variables
+
+
+def test_encode_decode_geometry(vae_and_params):
+    model, variables = vae_and_params
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 17, 32, 32, 3))
+    moments = model.apply(variables, x, method=model.encode)
+    # 17 frames -> 1 + 16/8 = 3 latent frames; 32 -> 4 spatial
+    assert moments.shape == (1, 3, 4, 4, 8)
+    z = gaussian_mode(moments)
+    assert z.shape == (1, 3, 4, 4, 4)
+    dec = model.apply(variables, z, method=model.decode)
+    assert dec.shape == (1, 17, 32, 32, 3)
+
+
+def test_single_image(vae_and_params):
+    model, variables = vae_and_params
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 1, 32, 32, 3))
+    moments = model.apply(variables, x, method=model.encode)
+    assert moments.shape == (2, 1, 4, 4, 8)
+    dec = model.apply(variables, gaussian_mode(moments), method=model.decode)
+    assert dec.shape == (2, 1, 32, 32, 3)
+
+
+def test_temporal_causality(vae_and_params):
+    """Perturbing frames 9.. must not change latents for frames 0..8."""
+    model, variables = vae_and_params
+    key = jax.random.PRNGKey(4)
+    x = jax.random.normal(key, (1, 17, 32, 32, 3))
+    x2 = x.at[:, 9:].set(jax.random.normal(jax.random.PRNGKey(5), (1, 8, 32, 32, 3)))
+    m1 = model.apply(variables, x, method=model.encode)
+    m2 = model.apply(variables, x2, method=model.encode)
+    # frames 0..8 -> latent frames 0..1 (1 + 8/8)
+    np.testing.assert_allclose(m1[:, :2], m2[:, :2], atol=1e-5)
+    assert not np.allclose(m1[:, 2:], m2[:, 2:], atol=1e-5)
+
+
+def test_chunk_encode_matches_monolithic(vae_and_params):
+    model, variables = vae_and_params
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, 17, 16, 16, 3))
+    mono = model.apply(variables, x, method=model.encode)
+    chunked = chunk_encode(model, variables, x, window_size=8)
+    assert chunked.shape == mono.shape
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(mono), atol=2e-4)
+
+
+def test_chunk_decode_matches_monolithic(vae_and_params):
+    model, variables = vae_and_params
+    z = jax.random.normal(jax.random.PRNGKey(7), (1, 5, 4, 4, 4))
+    mono = model.apply(variables, z, method=model.decode)
+    chunked = chunk_decode(model, variables, z, window_size=2)
+    assert chunked.shape == mono.shape
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(mono), atol=2e-4)
+
+
+def test_gaussian_helpers():
+    moments = jnp.concatenate(
+        [jnp.ones((1, 1, 2, 2, 4)), jnp.zeros((1, 1, 2, 2, 4))], axis=-1
+    )
+    assert gaussian_mode(moments).shape == (1, 1, 2, 2, 4)
+    np.testing.assert_allclose(np.asarray(gaussian_mode(moments)), 1.0)
+    # KL(N(1,1) || N(0,1)) = 0.5 per dim, 16 dims
+    np.testing.assert_allclose(np.asarray(gaussian_kl(moments)), 8.0, rtol=1e-5)
+    s = gaussian_sample(moments, jax.random.PRNGKey(0))
+    assert s.shape == (1, 1, 2, 2, 4)
+
+
+def test_tiled_roundtrip_shapes(vae_and_params):
+    model, variables = vae_and_params
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 9, 64, 64, 3))
+    moments = tiled_encode(model, variables, x, tile_sample_min_size=32)
+    assert moments.shape == (1, 2, 8, 8, 8)
+    dec = tiled_decode(model, variables, gaussian_mode(moments), tile_sample_min_size=32)
+    assert dec.shape == (1, 9, 64, 64, 3)
+
+
+def test_training_forward(vae_and_params):
+    model, variables = vae_and_params
+    x = jax.random.normal(jax.random.PRNGKey(9), (1, 9, 16, 16, 3))
+    moments, dec = model.apply(variables, x, rng=jax.random.PRNGKey(10))
+    assert moments.shape == (1, 2, 2, 2, 8)
+    assert dec.shape == (1, 9, 16, 16, 3)
