@@ -1,0 +1,173 @@
+"""PyramidFluxTransformer — the miniFLUX DiT backbone, TPU-native.
+
+Re-design of `pyramid_dit/flux_modules/modeling_pyramid_flux.py:60-542`.
+
+Interface difference from the reference (deliberate, SURVEY.md §7.1): the
+reference takes ragged lists of per-stage 5-D clips and performs patchify /
+RoPE-id construction / varlen packing internally, batching different stages
+into interleaved rows of one ragged sequence. Here the model is a pure
+seq-to-seq transformer over **already-patchified tokens**: each batch row is
+one (sample, stage); the pipeline (`pyramid_flow_tpu.pipeline.patchify`)
+builds tokens, float RoPE positions, and int time-ids. All shapes are static
+per (L_text, L_latent) bucket — no Python loops, no ``hidden_length``
+bookkeeping, fully jit/vmap/shard_map friendly.
+
+Config (19 dual + 38 single blocks, 24 heads x 64, in 64ch = 2x2 patch x 16
+VAE ch, T5 4096 joint dim, CLIP 768 pooled dim) matches the released
+checkpoint (reference :79-96).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.flash_attention import INVALID_TIME
+from ...ops.rope import rope_freqs
+from .blocks import (
+    AdaLayerNormContinuous,
+    FluxSingleTransformerBlock,
+    FluxTransformerBlock,
+)
+
+__all__ = ["FluxConfig", "PyramidFluxTransformer", "TimestepTextEmbed"]
+
+
+@dataclasses.dataclass(frozen=True)
+class FluxConfig:
+    in_channels: int = 64          # 2x2 patch x 16 latent channels
+    num_layers: int = 19
+    num_single_layers: int = 38
+    attention_head_dim: int = 64
+    num_attention_heads: int = 24
+    joint_attention_dim: int = 4096
+    pooled_projection_dim: int = 768
+    axes_dims_rope: Tuple[int, int, int] = (16, 24, 24)
+    patch_size: int = 2
+    use_temporal_causal: bool = True
+    # fraction of blocks to rematerialize when training
+    gradient_checkpointing_ratio: float = 0.6
+
+    @property
+    def inner_dim(self) -> int:
+        return self.num_attention_heads * self.attention_head_dim
+
+
+def timestep_sinusoidal(t: jnp.ndarray, dim: int = 256) -> jnp.ndarray:
+    """[cos, sin] sinusoidal embedding, flip_sin_to_cos=True,
+    downscale_freq_shift=0 (reference `modeling_embedding.py:11-62`)."""
+    half = dim // 2
+    exponent = -np.log(10000.0) * np.arange(half, dtype=np.float32) / half
+    freqs = jnp.asarray(np.exp(exponent))
+    arg = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(arg), jnp.sin(arg)], axis=-1)
+
+
+class TimestepTextEmbed(nn.Module):
+    """timestep MLP + pooled-text MLP, summed
+    (reference ``CombinedTimestepTextProjEmbeddings`` :185-200)."""
+
+    embedding_dim: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, timestep, pooled):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        t_emb = timestep_sinusoidal(timestep).astype(pooled.dtype)
+        t_emb = nn.Dense(self.embedding_dim, name="timestep_embedder_1", **kw)(t_emb)
+        t_emb = nn.Dense(self.embedding_dim, name="timestep_embedder_2", **kw)(
+            nn.silu(t_emb))
+        p = nn.Dense(self.embedding_dim, name="text_embedder_1", **kw)(pooled)
+        p = nn.Dense(self.embedding_dim, name="text_embedder_2", **kw)(nn.silu(p))
+        return t_emb + p
+
+
+class PyramidFluxTransformer(nn.Module):
+    """miniFLUX over packed tokens.
+
+    Inputs:
+      latent_tokens: [B, L, in_channels] patchified latents (cond history
+        first, trainable/noisy tokens last — the pipeline's convention).
+      latent_pos:    [B, L, 3] float32 (t, h, w) RoPE positions.
+      latent_time:   [B, L] int32 temporal ids (frame index; INVALID for pad).
+      text_emb:      [B, Lt, joint_attention_dim] T5 sequence embeddings.
+      text_mask:     [B, Lt] bool.
+      pooled:        [B, pooled_projection_dim] CLIP pooled embedding.
+      timestep:      [B] float (per-stage timestep, 0..1000 scale).
+
+    Returns velocity tokens [B, L, in_channels]; the caller slices the
+    trainable tail and unpatchifies.
+    """
+
+    config: FluxConfig = FluxConfig()
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, latent_tokens, latent_pos, latent_time, text_emb,
+                 text_mask, pooled, timestep):
+        cfg = self.config
+        d = cfg.inner_dim
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        b, lt = text_emb.shape[:2]
+
+        temb = TimestepTextEmbed(embedding_dim=d, name="time_text_embed", **kw)(
+            timestep, pooled)
+        ctx = nn.Dense(d, name="context_embedder", **kw)(text_emb)
+        x = nn.Dense(d, name="x_embedder", **kw)(latent_tokens)
+
+        # RoPE over [text; latent]: text at position 0 on all axes (identity)
+        text_pos = jnp.zeros((b, lt, 3), jnp.float32)
+        cos, sin = rope_freqs(
+            jnp.concatenate([text_pos, latent_pos.astype(jnp.float32)], axis=1),
+            cfg.axes_dims_rope,
+        )
+
+        # attention time ids: text t=0 (invalid text -> INVALID)
+        text_time = jnp.where(text_mask, 0, INVALID_TIME).astype(jnp.int32)
+        time_ids = jnp.concatenate(
+            [text_time, latent_time.astype(jnp.int32)], axis=1)
+
+        dual = FluxTransformerBlock
+        single = FluxSingleTransformerBlock
+        if self.remat:
+            n_remat_dual = int(cfg.num_layers * cfg.gradient_checkpointing_ratio)
+            n_remat_single = int(cfg.num_single_layers * cfg.gradient_checkpointing_ratio)
+            dual_r = nn.remat(FluxTransformerBlock, static_argnums=())
+            single_r = nn.remat(FluxSingleTransformerBlock, static_argnums=())
+        else:
+            n_remat_dual = n_remat_single = -1
+            dual_r = single_r = None
+
+        blk_kw = dict(
+            num_heads=cfg.num_attention_heads,
+            head_dim=cfg.attention_head_dim,
+            causal=cfg.use_temporal_causal,
+            **kw,
+        )
+
+        for i in range(cfg.num_layers):
+            cls = dual_r if self.remat and i <= n_remat_dual else dual
+            x, ctx = cls(name=f"transformer_blocks_{i}", **blk_kw)(
+                x, ctx, temb, cos, sin, time_ids)
+
+        # merge text back for single-stream blocks (text-first)
+        h = jnp.concatenate([ctx, x], axis=1)
+        for i in range(cfg.num_single_layers):
+            cls = single_r if self.remat and i <= n_remat_single else single
+            h = cls(name=f"single_transformer_blocks_{i}", **blk_kw)(
+                h, temb, cos, sin, time_ids)
+
+        x = h[:, lt:]
+        x = AdaLayerNormContinuous(name="norm_out", **kw)(x, temb)
+        out = nn.Dense(
+            cfg.in_channels, name="proj_out",
+            kernel_init=nn.initializers.zeros, **kw,
+        )(x)
+        return out
