@@ -1,0 +1,348 @@
+"""PyramidFlow generation pipeline — TPU-native runner.
+
+Re-design of ``PyramidDiTForVideoGeneration``
+(`pyramid_dit/pyramid_dit_for_video_gen_pipeline.py:114-1279`). The reference
+drives a Python denoise loop with per-step host sync; here each (stage,
+history-shape) denoise loop is ONE jitted ``lax.fori_loop`` with donated
+latent buffers — zero host round-trips inside a stage, and the jit cache
+reuses compilations across units with identical shapes.
+
+Text encoding is decoupled: ``generate``/``generate_i2v`` take precomputed
+(prompt_embeds, prompt_attention_mask, pooled) pairs for positive and
+negative prompts (use ``pyramid_flow_tpu.models.text`` to produce them).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.blocknoise import sample_block_noise
+from ..ops.resample import avg_pool_2x, nearest_up_2x
+from ..schedulers.flow_matching import PyramidFlowMatchEulerDiscreteScheduler
+from .noising import latent_pyramid
+from .packing import pack_clips, patchify, unpatchify
+
+__all__ = ["PyramidFlowPipeline"]
+
+
+def _down2(x):
+    return jnp.moveaxis(avg_pool_2x(jnp.moveaxis(x, -1, -3)), -3, -1)
+
+
+def _up2_nearest(x):
+    return jnp.moveaxis(nearest_up_2x(jnp.moveaxis(x, -1, -3)), -3, -1)
+
+
+class PyramidFlowPipeline:
+    """Inference runner: AR unit loop -> per-stage jitted denoise cascades ->
+    causal VAE decode.
+
+    Args:
+      dit: a ``PyramidFluxTransformer``-like flax module (packed-token API).
+      dit_params: its variables.
+      vae, vae_params: ``CausalVideoVAE`` and variables (optional: latent out).
+      model_name: 'pyramid_flux' | 'pyramid_mmdit' (selects latent norms,
+        reference :164-176).
+    """
+
+    def __init__(
+        self,
+        dit,
+        dit_params,
+        vae=None,
+        vae_params=None,
+        scheduler: Optional[PyramidFlowMatchEulerDiscreteScheduler] = None,
+        model_name: str = "pyramid_flux",
+        stages: Sequence[int] = (1, 2, 4),
+        frame_per_unit: int = 1,
+        latent_channels: int = 16,
+        timestep_shift: float = 1.0,
+        stage_range: Sequence[float] = (0, 1 / 3, 2 / 3, 1),
+        scheduler_gamma: float = 1 / 3,
+        dtype=jnp.bfloat16,
+    ):
+        self.dit = dit
+        self.dit_params = dit_params
+        self.vae = vae
+        self.vae_params = vae_params
+        self.model_name = model_name
+        self.stages = list(stages)
+        self.num_stages = len(self.stages)
+        self.frame_per_unit = frame_per_unit
+        self.latent_channels = latent_channels
+        self.downsample = 8
+        self.dtype = dtype
+        self.scheduler = scheduler or PyramidFlowMatchEulerDiscreteScheduler(
+            shift=timestep_shift,
+            stages=self.num_stages,
+            stage_range=tuple(stage_range),
+            gamma=scheduler_gamma,
+        )
+
+        # latent normalization constants (reference :164-176)
+        if model_name == "pyramid_flux":
+            self.vae_shift_factor = -0.04
+            self.vae_scale_factor = 1 / 1.8726
+        elif model_name == "pyramid_mmdit":
+            self.vae_shift_factor = 0.1490
+            self.vae_scale_factor = 1 / 1.8415
+        else:
+            raise ValueError(f"unknown model_name {model_name}")
+        self.vae_video_shift_factor = -0.2343
+        self.vae_video_scale_factor = 1 / 3.0986
+
+        self._denoise_jit = jax.jit(
+            self._denoise_stage_loop,
+            static_argnames=("trainable_tokens", "temp", "height", "width"),
+            donate_argnames=("latents",),
+        )
+
+    # ------------------------------------------------------------ helpers
+    def normalize_latent(self, x):
+        """pixels-encoded latent -> model space; frame 0 uses image stats
+        (reference ``get_vae_latent`` :578-584)."""
+        first = (x[:, :1] - self.vae_shift_factor) * self.vae_scale_factor
+        if x.shape[1] == 1:
+            return first
+        rest = (x[:, 1:] - self.vae_video_shift_factor) * self.vae_video_scale_factor
+        return jnp.concatenate([first, rest], axis=1)
+
+    def denormalize_latent(self, x):
+        """model space -> VAE latent space (reference ``decode_latent`` :1226-1230)."""
+        first = x[:, :1] / self.vae_scale_factor + self.vae_shift_factor
+        if x.shape[1] == 1:
+            return first
+        rest = x[:, 1:] / self.vae_video_scale_factor + self.vae_video_shift_factor
+        return jnp.concatenate([first, rest], axis=1)
+
+    # ----------------------------------------------------- denoise (jitted)
+    def _denoise_stage_loop(
+        self,
+        params,
+        latents,            # [B, T, h, w, C]
+        cond_tokens,        # [2B, Lc, Cp] (CFG-doubled) or [2B, 0, Cp]
+        positions,          # [1, Lc+Ll, 3] float32
+        time_ids,           # [1, Lc+Ll] int32
+        prompt_embeds,      # [2B, Lt, joint]
+        prompt_mask,        # [2B, Lt] bool
+        pooled,             # [2B, pooled_dim]
+        timesteps,          # [n] float32
+        sigmas,             # [n+1] float32
+        guidance,           # scalar
+        *,
+        trainable_tokens: int,
+        temp: int,
+        height: int,
+        width: int,
+    ):
+        """CFG Euler loop for one stage — a single fori_loop on device."""
+        b = latents.shape[0]
+        pos2 = jnp.broadcast_to(positions, (2 * b,) + positions.shape[1:])
+        time2 = jnp.broadcast_to(time_ids, (2 * b,) + time_ids.shape[1:])
+        n = timesteps.shape[0]
+
+        def step(i, lat):
+            lat_tokens = patchify(lat.astype(self.dtype))
+            lat2 = jnp.concatenate([lat_tokens, lat_tokens], axis=0)
+            tokens = jnp.concatenate([cond_tokens, lat2], axis=1)
+            t = jnp.broadcast_to(timesteps[i], (2 * b,))
+            v = self.dit.apply(
+                params, tokens, pos2, time2, prompt_embeds, prompt_mask,
+                pooled, t,
+            )
+            v = v[:, -trainable_tokens:]
+            v_uncond, v_cond = jnp.split(v, 2, axis=0)
+            v = v_uncond + guidance * (v_cond - v_uncond)
+            v_lat = unpatchify(v, temp, height, width)
+            return (
+                lat.astype(jnp.float32)
+                + (sigmas[i + 1] - sigmas[i]) * v_lat.astype(jnp.float32)
+            ).astype(lat.dtype)
+
+        return jax.lax.fori_loop(0, n, step, latents)
+
+    def generate_one_unit(
+        self,
+        rng,
+        latents,                  # [B, T, h0, w0, C] at LOWEST stage res
+        past_conditions,          # per stage: list of cond clips [B,T_i,H_i,W_i,C]
+        prompt_embeds, prompt_mask, pooled,   # CFG-doubled (2B rows)
+        num_inference_steps: Sequence[int],
+        guidance: float,
+    ):
+        """The stage cascade for one temporal unit (reference :705-788)."""
+        intermed = []
+        for i_s in range(self.num_stages):
+            timesteps, sigmas = self.scheduler.inference_tables(
+                num_inference_steps[i_s], i_s)
+
+            if i_s > 0:
+                latents = _up2_nearest(latents)
+                alpha, beta = self.scheduler.transition_coefficients(i_s)
+                rng, sub = jax.random.split(rng)
+                noise = sample_block_noise(
+                    sub, latents.shape, self.scheduler.gamma, latents.dtype)
+                latents = alpha * latents + beta * noise
+
+            b, temp, h, w, c = latents.shape
+            clips = past_conditions[i_s] + [jnp.zeros_like(latents)]
+            all_tokens, positions, time_ids, trainable = pack_clips(clips)
+            cond_tokens = all_tokens[:, : all_tokens.shape[1] - trainable]
+            cond_tokens = jnp.concatenate(
+                [cond_tokens, cond_tokens], axis=0).astype(self.dtype)
+
+            latents = self._denoise_jit(
+                self.dit_params,
+                latents,
+                cond_tokens,
+                jnp.asarray(positions)[None],
+                jnp.asarray(time_ids)[None],
+                prompt_embeds,
+                prompt_mask,
+                pooled,
+                jnp.asarray(timesteps),
+                jnp.asarray(sigmas),
+                jnp.float32(guidance),
+                trainable_tokens=trainable,
+                temp=temp,
+                height=h,
+                width=w,
+            )
+            intermed.append(latents)
+        return intermed
+
+    # ------------------------------------------------------------ generate
+    def _build_past_conditions(self, history):
+        """Per-stage conditioning clip lists from generated history
+        (reference :1156-1182): newest unit at stage res, older units at
+        progressively lower stages, oldest remainder at stage 0."""
+        clean_list = latent_pyramid(history, self.num_stages)
+        fpu = self.frame_per_unit
+        unit_index = history.shape[1] // fpu  # units generated so far
+        past = []
+        for i_s in range(self.num_stages):
+            stage_input = [clean_list[i_s][:, -fpu:]]
+            cur_unit_ptx, cur_stage = 1, i_s
+            while cur_unit_ptx < unit_index:
+                cur_stage = max(cur_stage - 1, 0)
+                if cur_stage == 0:
+                    break
+                cur_unit_ptx += 1
+                stage_input.append(
+                    clean_list[cur_stage][
+                        :, -(cur_unit_ptx * fpu): -((cur_unit_ptx - 1) * fpu)]
+                )
+            if cur_stage == 0 and cur_unit_ptx < unit_index:
+                stage_input.append(clean_list[0][:, : -(cur_unit_ptx * fpu)])
+            past.append(list(reversed(stage_input)))
+        return past
+
+    def generate(
+        self,
+        rng,
+        prompt_embeds, prompt_mask, pooled_embeds,          # positive [B,...]
+        negative_embeds, negative_mask, negative_pooled,    # negative [B,...]
+        height: int,
+        width: int,
+        temp: int = 1,
+        num_inference_steps: Sequence[int] | int = 20,
+        video_num_inference_steps: Sequence[int] | int = 10,
+        guidance_scale: float = 7.0,
+        video_guidance_scale: float = 5.0,
+        output_type: str = "latent",
+        save_memory: bool = True,
+        input_image_latent: Optional[jnp.ndarray] = None,
+    ):
+        """Text-to-video (reference ``generate`` :1005-1219); pass
+        ``input_image_latent`` ([B,1,h,w,C], already normalized) for i2v
+        (reference ``generate_i2v`` :790-1003)."""
+        if isinstance(num_inference_steps, int):
+            num_inference_steps = [num_inference_steps] * self.num_stages
+        if isinstance(video_num_inference_steps, int):
+            video_num_inference_steps = [video_num_inference_steps] * self.num_stages
+
+        # CFG concat: [negative, positive]
+        pe = jnp.concatenate([negative_embeds, prompt_embeds], axis=0).astype(self.dtype)
+        pm = jnp.concatenate([negative_mask, prompt_mask], axis=0)
+        pp = jnp.concatenate([negative_pooled, pooled_embeds], axis=0).astype(self.dtype)
+
+        b = prompt_embeds.shape[0]
+        h_lat, w_lat = height // self.downsample, width // self.downsample
+        rng, sub = jax.random.split(rng)
+        latents = jax.random.normal(
+            sub, (b, temp, h_lat, w_lat, self.latent_channels), jnp.float32)
+        # start from the lowest stage: bilinear down with *2 noise correction
+        for _ in range(self.num_stages - 1):
+            latents = _down2(latents) * 2
+
+        fpu = self.frame_per_unit
+        generated: List[jnp.ndarray] = []
+        if input_image_latent is not None:
+            # i2v (reference :902,928): unit 0 = the encoded image; generate
+            # units 1..num_units-1 from noise slices (unit u -> frames
+            # [(u-1)*fpu, u*fpu)).
+            generated.append(input_image_latent.astype(jnp.float32))
+            num_units = temp // fpu
+            unit_range = range(1, num_units)
+        else:
+            # t2v (reference :1120): unit 0 = first frame; unit u>0 -> frames
+            # [1+(u-1)*fpu, 1+u*fpu).
+            num_units = 1 + (temp - 1) // fpu
+            unit_range = range(num_units)
+
+        for unit_index in unit_range:
+            rng, sub = jax.random.split(rng)
+            if unit_index == 0:
+                past = [[] for _ in range(self.num_stages)]
+                intermed = self.generate_one_unit(
+                    sub, latents[:, :1], past, pe, pm, pp,
+                    num_inference_steps, guidance_scale,
+                )
+            else:
+                history = jnp.concatenate(generated, axis=1)
+                past = self._build_past_conditions(history)
+                if input_image_latent is None:
+                    start = 1 + (unit_index - 1) * fpu
+                else:
+                    start = (unit_index - 1) * fpu
+                intermed = self.generate_one_unit(
+                    sub, latents[:, start: start + fpu], past, pe, pm, pp,
+                    video_num_inference_steps, video_guidance_scale,
+                )
+            generated.append(intermed[-1].astype(jnp.float32))
+
+        latents_full = jnp.concatenate(generated, axis=1)
+        if output_type == "latent":
+            return latents_full
+        return self.decode_latent(latents_full, save_memory=save_memory)
+
+    def generate_i2v(self, rng, image_latent_raw, *args, **kwargs):
+        """i2v: unit 0 is the VAE-encoded input image. ``image_latent_raw``
+        is the raw VAE-encoded latent (pre-normalization, [B,1,h,w,C])."""
+        img = (image_latent_raw - self.vae_shift_factor) * self.vae_scale_factor
+        return self.generate(rng, *args, input_image_latent=img, **kwargs)
+
+    # -------------------------------------------------------------- decode
+    def decode_latent(self, latents, save_memory: bool = True):
+        """Un-normalize + chunked (and optionally tiled) causal VAE decode
+        (reference :1221-1243). Returns uint8 frames [B, F, H, W, 3]."""
+        from ..models.vae.model import chunk_decode, tiled_decode
+
+        assert self.vae is not None, "pipeline built without a VAE"
+        z = self.denormalize_latent(latents).astype(jnp.float32)
+        window = 1 if save_memory else 2
+        tile = 256 if save_memory else 512
+        if z.shape[2] > tile // self.downsample or z.shape[3] > tile // self.downsample:
+            img = tiled_decode(self.vae, self.vae_params, z,
+                               tile_sample_min_size=tile,
+                               temporal_chunk=True, window_size=window)
+        else:
+            img = chunk_decode(self.vae, self.vae_params, z, window_size=window)
+        img = jnp.clip(img * 127.5 + 127.5, 0, 255).astype(jnp.uint8)
+        return img

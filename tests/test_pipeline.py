@@ -1,0 +1,199 @@
+"""End-to-end pipeline tests with tiny models: t2v, i2v, noising math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyramid_flow_tpu.models.flux.model import FluxConfig, PyramidFluxTransformer
+from pyramid_flow_tpu.models.vae.model import CausalVideoVAE, VAEConfig
+from pyramid_flow_tpu.pipeline.noising import (
+    add_ar_noise_stage,
+    add_pyramid_noise_stage,
+    latent_pyramid,
+    noise_pyramid,
+    sample_stage_length,
+)
+from pyramid_flow_tpu.pipeline.pyramid_pipeline import PyramidFlowPipeline
+from pyramid_flow_tpu.schedulers.flow_matching import (
+    PyramidFlowMatchEulerDiscreteScheduler,
+)
+
+DIT_CFG = FluxConfig(
+    in_channels=16,
+    num_layers=1,
+    num_single_layers=1,
+    attention_head_dim=8,
+    num_attention_heads=4,
+    joint_attention_dim=32,
+    pooled_projection_dim=24,
+    axes_dims_rope=(4, 2, 2),
+)
+VAE_CFG = VAEConfig(
+    latent_channels=4,
+    block_out_channels=(8, 8, 16, 16),
+    encoder_layers_per_block=(1, 1, 1, 1),
+    decoder_layers_per_block=(1, 1, 1, 1),
+    num_groups=4,
+)
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    dit = PyramidFluxTransformer(config=DIT_CFG, dtype=jnp.float32)
+    tokens = jnp.zeros((2, 16, 16))
+    pos = jnp.zeros((2, 16, 3))
+    time = jnp.zeros((2, 16), jnp.int32)
+    text = jnp.zeros((2, 8, 32))
+    mask = jnp.ones((2, 8), bool)
+    pooled = jnp.zeros((2, 24))
+    ts = jnp.zeros((2,))
+    dit_params = dit.init(
+        jax.random.PRNGKey(0), tokens, pos, time, text, mask, pooled, ts)
+    # randomize zero-init layers so generation produces signal
+    leaves, treedef = jax.tree.flatten(dit_params)
+    keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    dit_params = jax.tree.unflatten(
+        treedef,
+        [0.02 * jax.random.normal(k, p.shape, p.dtype) for k, p in zip(keys, leaves)],
+    )
+
+    vae = CausalVideoVAE(config=VAE_CFG)
+    vae_params = vae.init(
+        jax.random.PRNGKey(2), jnp.zeros((1, 1, 32, 32, 3)),
+        rng=jax.random.PRNGKey(3))
+    return PyramidFlowPipeline(
+        dit, dit_params, vae, vae_params,
+        latent_channels=4, dtype=jnp.float32,
+    )
+
+
+def _text_inputs(b=1):
+    k = jax.random.PRNGKey(7)
+    emb = jax.random.normal(k, (b, 8, 32))
+    mask = jnp.ones((b, 8), bool)
+    pooled = jax.random.normal(k, (b, 24))
+    return emb, mask, pooled
+
+
+def test_generate_single_image(pipeline):
+    emb, mask, pooled = _text_inputs()
+    out = pipeline.generate(
+        jax.random.PRNGKey(0), emb, mask, pooled, emb * 0, mask, pooled * 0,
+        height=64, width=64, temp=1,
+        num_inference_steps=[2, 2, 2], video_num_inference_steps=[2, 2, 2],
+        output_type="latent",
+    )
+    assert out.shape == (1, 1, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_generate_video_ar(pipeline):
+    emb, mask, pooled = _text_inputs()
+    out = pipeline.generate(
+        jax.random.PRNGKey(1), emb, mask, pooled, emb * 0, mask, pooled * 0,
+        height=64, width=64, temp=3,
+        num_inference_steps=[2, 2, 2], video_num_inference_steps=[1, 1, 1],
+        output_type="latent",
+    )
+    assert out.shape == (1, 3, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_generate_i2v(pipeline):
+    emb, mask, pooled = _text_inputs()
+    img_latent = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 8, 8, 4))
+    out = pipeline.generate_i2v(
+        jax.random.PRNGKey(3), img_latent, emb, mask, pooled,
+        emb * 0, mask, pooled * 0,
+        height=64, width=64, temp=3,
+        num_inference_steps=[1, 1, 1], video_num_inference_steps=[1, 1, 1],
+        output_type="latent",
+    )
+    assert out.shape == (1, 3, 8, 8, 4)
+
+
+def test_decode_pixels(pipeline):
+    z = jax.random.normal(jax.random.PRNGKey(4), (1, 2, 8, 8, 4)) * 0.3
+    img = pipeline.decode_latent(z)
+    assert img.shape == (1, 9, 64, 64, 3)
+    assert img.dtype == jnp.uint8
+
+
+# ------------------------------------------------------------------ noising
+@pytest.fixture(scope="module")
+def sched():
+    return PyramidFlowMatchEulerDiscreteScheduler()
+
+
+def test_noise_pyramid_variance():
+    pyr = noise_pyramid(jax.random.PRNGKey(0), (4, 2, 32, 32, 8), 3)
+    assert len(pyr) == 3
+    assert pyr[0].shape == (4, 2, 8, 8, 8)
+    assert pyr[2].shape == (4, 2, 32, 32, 8)
+    # the *2 per level roughly preserves unit variance (2x2 mean of unit
+    # gaussians has var 1/4, scaled by 4)
+    for lvl in pyr:
+        assert 0.8 < float(jnp.var(lvl)) < 1.3
+
+
+def test_full_sequence_noising(sched):
+    latents = [
+        jax.random.normal(jax.random.PRNGKey(i), (2, 2, 8 * 2**i, 8 * 2**i, 4))
+        for i in range(3)
+    ]
+    for stage in range(3):
+        batch = add_pyramid_noise_stage(
+            jax.random.PRNGKey(stage), sched, latents, stage, 3)
+        assert len(batch.clips) == 1
+        assert batch.clips[0].shape == latents[stage].shape
+        assert batch.targets.shape == latents[stage].shape
+        assert batch.timesteps.shape == (2,)
+        # timestep lies inside the stage window
+        ts = np.asarray(batch.timesteps)
+        lo = sched.timesteps_per_stage[stage][-1]
+        hi = sched.timesteps_per_stage[stage][0]
+        assert (ts >= lo - 1e-4).all() and (ts <= hi + 1e-4).all()
+
+
+def test_ar_noising_structure(sched):
+    t = 8  # 8 temporal latent frames
+    latents = [
+        jax.random.normal(jax.random.PRNGKey(i), (2, t, 4 * 2**i, 4 * 2**i, 4))
+        for i in range(3)
+    ]
+    # stage 2 with 5 units: [stage0 remainder, stage1, corrupted stage2, noisy]
+    batch = add_ar_noise_stage(
+        jax.random.PRNGKey(0), sched, latents, stage=2, num_stages=3,
+        num_units=5, frame_per_unit=1)
+    assert batch.targets.shape == (2, 1, 16, 16, 4)
+    assert batch.clips[-1].shape == (2, 1, 16, 16, 4)   # noisy current
+    assert batch.clips[-2].shape == (2, 1, 16, 16, 4)   # corrupted last cond
+    assert batch.clips[-3].shape == (2, 1, 8, 8, 4)     # stage 1
+    assert batch.clips[0].shape == (2, 2, 4, 4, 4)      # stage 0 remainder
+    total_frames = sum(c.shape[1] for c in batch.clips)
+    assert total_frames == 5
+
+
+def test_ar_noising_single_unit(sched):
+    latents = [
+        jax.random.normal(jax.random.PRNGKey(i), (2, 4, 4 * 2**i, 4 * 2**i, 4))
+        for i in range(3)
+    ]
+    batch = add_ar_noise_stage(
+        jax.random.PRNGKey(0), sched, latents, stage=1, num_stages=3,
+        num_units=1)
+    assert len(batch.clips) == 1
+
+
+def test_sample_stage_length_rotation():
+    # 8 ranks in a sync group cover distinct AR positions
+    lens = [sample_stage_length(r, step=0)[2] for r in range(8)]
+    assert lens == list(range(1, 9))
+    lens_turn1 = [sample_stage_length(r, step=1)[2] for r in range(8)]
+    assert lens_turn1 == list(range(9, 17))
+    # low/mid lengths complement: high + mid == 1 + max_units
+    for r in range(8):
+        low, mid, high = sample_stage_length(r, step=0)
+        assert mid == 1 + 31 - high
+        assert low == mid
