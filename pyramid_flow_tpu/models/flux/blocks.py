@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ...ops.flash_attention import flash_attention
 from ...ops.rope import apply_rope
+from ...parallel.sp import sp_flash_attention
 
 __all__ = [
     "RMSNorm",
@@ -142,6 +143,14 @@ def _unheads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
 
 
+def _dispatch_attention(q, k, v, time_ids, causal, sm_scale, mesh):
+    """Plain flash attention, or Ulysses SP when a mesh with sp>1 is set."""
+    if mesh is not None and mesh.shape.get("sp", 1) > 1:
+        return sp_flash_attention(q, k, v, time_ids, mesh, causal=causal,
+                                  sm_scale=sm_scale)
+    return flash_attention(q, k, v, time_ids, causal=causal, sm_scale=sm_scale)
+
+
 class JointAttention(nn.Module):
     """Dual-stream attention: separate image/context QKV, joint softmax over
     [text; image], separate output projections.
@@ -153,6 +162,7 @@ class JointAttention(nn.Module):
     num_heads: int
     head_dim: int
     causal: bool = True
+    mesh: object = None  # jax.sharding.Mesh for sequence parallelism
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -181,8 +191,8 @@ class JointAttention(nn.Module):
         q = apply_rope(q, rope_cos, rope_sin)
         k = apply_rope(k, rope_cos, rope_sin)
 
-        o = flash_attention(q, k, v, time_ids, causal=self.causal,
-                            sm_scale=self.head_dim ** -0.5)
+        o = _dispatch_attention(q, k, v, time_ids, self.causal,
+                                self.head_dim ** -0.5, self.mesh)
         o = _unheads(o)
         ctx_o, x_o = o[:, :lt], o[:, lt:]
         x_o = nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype,
@@ -198,6 +208,7 @@ class SingleAttention(nn.Module):
     num_heads: int
     head_dim: int
     causal: bool = True
+    mesh: object = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -213,8 +224,8 @@ class SingleAttention(nn.Module):
         k = RMSNorm(param_dtype=self.param_dtype, name="norm_k")(k)
         q = apply_rope(q, rope_cos, rope_sin)
         k = apply_rope(k, rope_cos, rope_sin)
-        o = flash_attention(q, k, v, time_ids, causal=self.causal,
-                            sm_scale=self.head_dim ** -0.5)
+        o = _dispatch_attention(q, k, v, time_ids, self.causal,
+                                self.head_dim ** -0.5, self.mesh)
         return _unheads(o)
 
 
@@ -224,6 +235,7 @@ class FluxTransformerBlock(nn.Module):
     num_heads: int
     head_dim: int
     causal: bool = True
+    mesh: object = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -237,7 +249,7 @@ class FluxTransformerBlock(nn.Module):
 
         x_attn, ctx_attn = JointAttention(
             num_heads=self.num_heads, head_dim=self.head_dim,
-            causal=self.causal, name="attn", **kw,
+            causal=self.causal, mesh=self.mesh, name="attn", **kw,
         )(nx, nc, rope_cos, rope_sin, time_ids)
 
         x = x + gate * x_attn
@@ -258,6 +270,7 @@ class FluxSingleTransformerBlock(nn.Module):
     head_dim: int
     mlp_ratio: float = 4.0
     causal: bool = True
+    mesh: object = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -273,7 +286,7 @@ class FluxSingleTransformerBlock(nn.Module):
         )
         attn = SingleAttention(
             num_heads=self.num_heads, head_dim=self.head_dim,
-            causal=self.causal, name="attn", **kw,
+            causal=self.causal, mesh=self.mesh, name="attn", **kw,
         )(nx, rope_cos, rope_sin, time_ids)
         h = jnp.concatenate([attn, mlp], axis=-1)
         return x + gate * nn.Dense(d, name="proj_out", **kw)(h)

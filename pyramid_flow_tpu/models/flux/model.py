@@ -108,6 +108,7 @@ class PyramidFluxTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    mesh: object = None  # jax.sharding.Mesh enabling sequence parallelism
 
     @nn.compact
     def __call__(self, latent_tokens, latent_pos, latent_time, text_emb,
@@ -149,6 +150,7 @@ class PyramidFluxTransformer(nn.Module):
             num_heads=cfg.num_attention_heads,
             head_dim=cfg.attention_head_dim,
             causal=cfg.use_temporal_causal,
+            mesh=self.mesh,
             **kw,
         )
 

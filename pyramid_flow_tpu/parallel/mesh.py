@@ -1,0 +1,95 @@
+"""Device mesh + sharding rules (GSPMD replacement for FSDP/DDP/SP groups).
+
+The reference manages four process-group flavors by hand (NCCL FSDP wrappers,
+sequence-parallel groups, context-parallel groups, video-sync groups —
+`trainer_misc/utils.py`, `trainer_misc/sp_utils.py`, `utils.py:19-105`). On
+TPU all of it collapses to ONE ``jax.sharding.Mesh`` with named axes:
+
+  dp    — data parallel (batch)
+  fsdp  — parameter/optimizer sharding axis; ALSO consumes batch (ZeRO-style:
+          data-parallel across fsdp shards, params all-gathered by XLA per
+          layer, gradients reduce-scattered)
+  sp    — sequence parallel (Ulysses all_to_all inside attention)
+
+The reference's "video_sync_group" trick (N ranks share one video, each
+training a different AR position) maps to indexing by position along the
+data axes — see ``training.trainer``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["MeshConfig", "make_mesh", "param_sharding", "batch_spec",
+           "DATA_AXES", "SP_AXIS", "FSDP_AXIS"]
+
+DATA_AXES = ("dp", "fsdp")
+FSDP_AXIS = "fsdp"
+SP_AXIS = "sp"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    dp: int = 1
+    fsdp: int = 1
+    sp: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.dp * self.fsdp * self.sp
+
+
+def make_mesh(config: Optional[MeshConfig] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build the (dp, fsdp, sp) mesh. Defaults: all devices on fsdp."""
+    devices = list(devices if devices is not None else jax.devices())
+    if config is None:
+        config = MeshConfig(fsdp=len(devices))
+    assert config.num_devices == len(devices), (
+        f"mesh {config} needs {config.num_devices} devices, have {len(devices)}"
+    )
+    arr = np.asarray(devices).reshape(config.dp, config.fsdp, config.sp)
+    return Mesh(arr, ("dp", "fsdp", "sp"))
+
+
+def _spec_for_param(path: str, shape: Tuple[int, ...], fsdp_size: int) -> P:
+    """Shard the largest divisible dim of each parameter on the fsdp axis.
+
+    Equivalent in spirit to FSDP FULL_SHARD over transformer blocks
+    (reference `train/train_pyramid_flow.py:286-296`), but expressed as a
+    static sharding that XLA turns into per-layer all-gather / reduce-scatter.
+    Small params (norms, biases) stay replicated.
+    """
+    if fsdp_size == 1 or not shape:
+        return P()
+    # prefer the last dim, then the largest; require divisibility
+    candidates = sorted(
+        range(len(shape)), key=lambda i: (shape[i], i), reverse=True
+    )
+    for dim in candidates:
+        if shape[dim] >= 1024 and shape[dim] % fsdp_size == 0:
+            spec = [None] * len(shape)
+            spec[dim] = FSDP_AXIS
+            return P(*spec)
+    return P()
+
+
+def param_sharding(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
+    """NamedSharding tree for a parameter pytree."""
+    fsdp_size = mesh.shape[FSDP_AXIS]
+
+    def to_sharding(path, leaf):
+        name = "/".join(str(p) for p in path)
+        return NamedSharding(mesh, _spec_for_param(name, leaf.shape, fsdp_size))
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def batch_spec(extra_dims: int = 0) -> P:
+    """Batch arrays: leading dim sharded over (dp, fsdp)."""
+    return P(DATA_AXES, *([None] * extra_dims))

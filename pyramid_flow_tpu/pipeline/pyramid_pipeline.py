@@ -175,8 +175,18 @@ class PyramidFlowPipeline:
         prompt_embeds, prompt_mask, pooled,   # CFG-doubled (2B rows)
         num_inference_steps: Sequence[int],
         guidance: float,
+        pad_cond_to: Optional[Sequence[int]] = None,
     ):
-        """The stage cascade for one temporal unit (reference :705-788)."""
+        """The stage cascade for one temporal unit (reference :705-788).
+
+        ``pad_cond_to``: per-stage conditioning-token budget. When set, the
+        history token buffer is padded (zero tokens, INVALID time ids) to a
+        fixed length so every unit of the video reuses ONE compiled denoise
+        program per stage — the TPU answer to the reference's ragged history
+        (SURVEY.md §7.3 #1). Padded keys are masked inside the flash kernel.
+        """
+        from ..ops.flash_attention import INVALID_TIME
+
         intermed = []
         for i_s in range(self.num_stages):
             timesteps, sigmas = self.scheduler.inference_tables(
@@ -194,6 +204,21 @@ class PyramidFlowPipeline:
             clips = past_conditions[i_s] + [jnp.zeros_like(latents)]
             all_tokens, positions, time_ids, trainable = pack_clips(clips)
             cond_tokens = all_tokens[:, : all_tokens.shape[1] - trainable]
+
+            if pad_cond_to is not None:
+                lc = cond_tokens.shape[1]
+                budget = pad_cond_to[i_s]
+                assert lc <= budget, (lc, budget)
+                pad = budget - lc
+                if pad:
+                    cond_tokens = jnp.pad(cond_tokens, ((0, 0), (pad, 0), (0, 0)))
+                    positions = np.concatenate(
+                        [np.zeros((pad, 3), np.float32), positions[:lc],
+                         positions[lc:]], axis=0)
+                    time_ids = np.concatenate(
+                        [np.full((pad,), INVALID_TIME, np.int32), time_ids[:lc],
+                         time_ids[lc:]], axis=0)
+
             cond_tokens = jnp.concatenate(
                 [cond_tokens, cond_tokens], axis=0).astype(self.dtype)
 
@@ -218,13 +243,12 @@ class PyramidFlowPipeline:
         return intermed
 
     # ------------------------------------------------------------ generate
-    def _build_past_conditions(self, history):
+    def _build_past_conditions(self, history, unit_index):
         """Per-stage conditioning clip lists from generated history
         (reference :1156-1182): newest unit at stage res, older units at
         progressively lower stages, oldest remainder at stage 0."""
         clean_list = latent_pyramid(history, self.num_stages)
         fpu = self.frame_per_unit
-        unit_index = history.shape[1] // fpu  # units generated so far
         past = []
         for i_s in range(self.num_stages):
             stage_input = [clean_list[i_s][:, -fpu:]]
@@ -242,6 +266,32 @@ class PyramidFlowPipeline:
                 stage_input.append(clean_list[0][:, : -(cur_unit_ptx * fpu)])
             past.append(list(reversed(stage_input)))
         return past
+
+    def _cond_token_budget(self, unit_index: int, h_lat: int, w_lat: int):
+        """Per-stage conditioning token count at history length ``unit_index``
+        (shape-level mirror of ``_build_past_conditions``)."""
+        fpu = self.frame_per_unit
+        budgets = []
+        for i_s in range(self.num_stages):
+            def frame_tokens(stage):
+                h = h_lat >> (self.num_stages - 1 - stage)
+                w = w_lat >> (self.num_stages - 1 - stage)
+                return (h // 2) * (w // 2)
+
+            toks = fpu * frame_tokens(i_s)
+            cur_unit_ptx, cur_stage = 1, i_s
+            while cur_unit_ptx < unit_index:
+                cur_stage = max(cur_stage - 1, 0)
+                if cur_stage == 0:
+                    break
+                cur_unit_ptx += 1
+                toks += fpu * frame_tokens(cur_stage)
+            if cur_stage == 0 and cur_unit_ptx < unit_index:
+                # remainder frames: total history frames minus consumed units
+                total_hist = 1 + (unit_index - 1) * fpu
+                toks += (total_hist - cur_unit_ptx * fpu) * frame_tokens(0)
+            budgets.append(toks)
+        return budgets
 
     def generate(
         self,
@@ -296,6 +346,13 @@ class PyramidFlowPipeline:
             num_units = 1 + (temp - 1) // fpu
             unit_range = range(num_units)
 
+        # fixed per-stage conditioning-token budgets -> one compiled denoise
+        # program per stage for the whole video
+        max_unit = max(unit_range) if len(unit_range) else 0
+        pad_cond_to = (
+            self._cond_token_budget(max_unit, h_lat, w_lat) if max_unit else None
+        )
+
         for unit_index in unit_range:
             rng, sub = jax.random.split(rng)
             if unit_index == 0:
@@ -306,7 +363,7 @@ class PyramidFlowPipeline:
                 )
             else:
                 history = jnp.concatenate(generated, axis=1)
-                past = self._build_past_conditions(history)
+                past = self._build_past_conditions(history, unit_index)
                 if input_image_latent is None:
                     start = 1 + (unit_index - 1) * fpu
                 else:
@@ -314,6 +371,7 @@ class PyramidFlowPipeline:
                 intermed = self.generate_one_unit(
                     sub, latents[:, start: start + fpu], past, pe, pm, pp,
                     video_num_inference_steps, video_guidance_scale,
+                    pad_cond_to=pad_cond_to,
                 )
             generated.append(intermed[-1].astype(jnp.float32))
 

@@ -1,0 +1,166 @@
+"""Sharded DiT training step (GSPMD; replaces FSDP + Accelerate loops).
+
+Re-expression of the reference training forward
+(`pyramid_dit_for_video_gen_pipeline.py:639-674` + `trainer_misc/fsdp_trainer.py`)
+as one jitted function over a (dp, fsdp, sp) mesh:
+
+* text-drop CFG masking is applied by the data pipeline (rng-based here)
+* the latent pyramid + per-stage noising runs on device inside the step
+* each stage's sub-batch runs a separate DiT forward with its own static
+  shapes (stage 0 tokens are 16x fewer than stage 2 — padding them to one
+  buffer would waste ~60% of FLOPs; separate calls keep the MXU dense)
+* loss = mean over all rows of per-row MSE (reference ``calculate_loss``)
+
+``num_units_per_stage`` is static per call; the trainer rotates through the
+bounded bucket set produced by ``sample_stage_length``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..pipeline.noising import (
+    StageBatch,
+    add_ar_noise_stage,
+    add_pyramid_noise_stage,
+    latent_pyramid,
+)
+from ..pipeline.packing import pack_clips
+from ..schedulers.flow_matching import PyramidFlowMatchEulerDiscreteScheduler
+from .train_state import TrainState
+
+__all__ = ["dit_loss_fn", "make_train_step", "stage_row_split"]
+
+
+def stage_row_split(batch_size: int, sample_ratios: Sequence[int]):
+    """Map batch rows to stages by ``sample_ratios`` (reference assigns batch
+    columns :283-291; contiguous row blocks are equivalent and layout-friendly).
+    Returns per-stage (start, count)."""
+    total = sum(sample_ratios)
+    assert batch_size % total == 0, (batch_size, sample_ratios)
+    per = batch_size // total
+    spans = []
+    start = 0
+    for r in sample_ratios:
+        spans.append((start, per * r))
+        start += per * r
+    return spans
+
+
+def dit_loss_fn(
+    dit,
+    params,
+    rng,
+    latents: jnp.ndarray,        # [B, T, H, W, C] clean, already normalized
+    text_emb: jnp.ndarray,       # [B, Lt, joint]
+    text_mask: jnp.ndarray,      # [B, Lt]
+    pooled: jnp.ndarray,         # [B, pooled_dim]
+    scheduler: PyramidFlowMatchEulerDiscreteScheduler,
+    sample_ratios: Sequence[int] = (1, 2, 1),
+    use_temporal_pyramid: bool = True,
+    num_units_per_stage: Optional[Sequence[int]] = None,
+    frame_per_unit: int = 1,
+    corrupt_ratio: float = 1.0 / 3,
+):
+    """Forward + per-stage MSE. Returns (loss, metrics)."""
+    num_stages = scheduler.stages
+    pyramid = latent_pyramid(latents, num_stages)
+    spans = stage_row_split(latents.shape[0], sample_ratios)
+
+    losses = []
+    for stage, (start, count) in enumerate(spans):
+        rng, sub = jax.random.split(rng)
+        stage_latents = [lvl[start: start + count] for lvl in pyramid]
+        if use_temporal_pyramid:
+            nu = num_units_per_stage[stage] if num_units_per_stage else 1
+            sb: StageBatch = add_ar_noise_stage(
+                sub, scheduler, stage_latents, stage, num_stages, nu,
+                frame_per_unit, corrupt_ratio)
+        else:
+            sb = add_pyramid_noise_stage(
+                sub, scheduler, stage_latents, stage, num_stages)
+
+        tokens, positions, time_ids, trainable = pack_clips(sb.clips)
+        b = tokens.shape[0]
+        pos = jnp.broadcast_to(jnp.asarray(positions)[None], (b,) + positions.shape)
+        times = jnp.broadcast_to(jnp.asarray(time_ids)[None], (b,) + time_ids.shape)
+
+        pred = dit.apply(
+            params,
+            tokens.astype(text_emb.dtype),
+            pos,
+            times,
+            text_emb[start: start + count],
+            text_mask[start: start + count],
+            pooled[start: start + count],
+            sb.timesteps,
+        )
+        pred = pred[:, -trainable:]
+        target_tokens, _, _, _ = pack_clips([sb.targets])
+        err = (pred.astype(jnp.float32) - target_tokens.astype(jnp.float32)) ** 2
+        losses.append(err.reshape(count, -1).mean(axis=1))
+
+    loss = jnp.concatenate(losses, axis=0).mean()
+    return loss, {"train/loss": loss}
+
+
+def make_train_step(
+    dit,
+    scheduler: PyramidFlowMatchEulerDiscreteScheduler,
+    sample_ratios: Sequence[int] = (1, 2, 1),
+    use_temporal_pyramid: bool = True,
+    frame_per_unit: int = 1,
+    corrupt_ratio: float = 1.0 / 3,
+    cfg_rate: float = 0.1,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    step(state, batch, rng, num_units_per_stage) -> (state, metrics)
+    batch: dict(latents, text_emb, text_mask, pooled, null_text_emb,
+    null_pooled). ``num_units_per_stage`` is a static tuple (shape bucket).
+    """
+
+    def step_fn(state: TrainState, batch: Dict, rng,
+                num_units_per_stage: Tuple[int, ...]):
+        rng_drop, rng_noise = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        # 10% CFG text drop (reference get_text_embeddings :597-614)
+        b = batch["latents"].shape[0]
+        drop = jax.random.uniform(rng_drop, (b,)) <= cfg_rate
+        text_emb = jnp.where(
+            drop[:, None, None], batch["null_text_emb"], batch["text_emb"])
+        text_mask = jnp.where(
+            drop[:, None], batch.get("null_text_mask", batch["text_mask"]),
+            batch["text_mask"])
+        pooled = jnp.where(drop[:, None], batch["null_pooled"], batch["pooled"])
+
+        def loss_fn(params):
+            return dit_loss_fn(
+                dit, params, rng_noise, batch["latents"], text_emb, text_mask,
+                pooled, scheduler, sample_ratios, use_temporal_pyramid,
+                num_units_per_stage, frame_per_unit, corrupt_ratio)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        gnorm = optax_global_norm(grads)
+        state = state.apply_gradients(grads, loss)
+        metrics = dict(metrics)
+        metrics["train/grad_norm"] = gnorm
+        return state, metrics
+
+    return jax.jit(
+        step_fn,
+        static_argnames=("num_units_per_stage",),
+        donate_argnames=("state",) if donate else (),
+    )
+
+
+def optax_global_norm(tree):
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in leaves))
