@@ -96,6 +96,7 @@ class PyramidFlowPipeline:
             raise ValueError(f"unknown model_name {model_name}")
         self.vae_video_shift_factor = -0.2343
         self.vae_video_scale_factor = 1 / 3.0986
+        self.pos_embed_max_size = 192  # SD3 sincos table size (mmdit only)
 
         self._denoise_jit = jax.jit(
             self._denoise_stage_loop,
@@ -135,6 +136,7 @@ class PyramidFlowPipeline:
         timesteps,          # [n] float32
         sigmas,             # [n+1] float32
         guidance,           # scalar
+        pos_offset,         # [2B, 2] table crop origin (mmdit) or None (flux)
         *,
         trainable_tokens: int,
         temp: int,
@@ -152,10 +154,16 @@ class PyramidFlowPipeline:
             lat2 = jnp.concatenate([lat_tokens, lat_tokens], axis=0)
             tokens = jnp.concatenate([cond_tokens, lat2], axis=1)
             t = jnp.broadcast_to(timesteps[i], (2 * b,))
-            v = self.dit.apply(
-                params, tokens, pos2, time2, prompt_embeds, prompt_mask,
-                pooled, t,
-            )
+            if pos_offset is None:
+                v = self.dit.apply(
+                    params, tokens, pos2, time2, prompt_embeds, prompt_mask,
+                    pooled, t,
+                )
+            else:
+                v = self.dit.apply(
+                    params, tokens, pos2, time2, prompt_embeds, prompt_mask,
+                    pooled, t, pos_offset,
+                )
             v = v[:, -trainable_tokens:]
             v_uncond, v_cond = jnp.split(v, 2, axis=0)
             v = v_uncond + guidance * (v_cond - v_uncond)
@@ -222,6 +230,16 @@ class PyramidFlowPipeline:
             cond_tokens = jnp.concatenate(
                 [cond_tokens, cond_tokens], axis=0).astype(self.dtype)
 
+            if self.model_name == "pyramid_mmdit":
+                # SD3 sincos table crop origin for the current clip's grid
+                g = self.pos_embed_max_size
+                top = (g - h // 2) // 2
+                left = (g - w // 2) // 2
+                pos_offset = jnp.broadcast_to(
+                    jnp.asarray([[top, left]], jnp.float32), (2 * b, 2))
+            else:
+                pos_offset = None
+
             latents = self._denoise_jit(
                 self.dit_params,
                 latents,
@@ -234,6 +252,7 @@ class PyramidFlowPipeline:
                 jnp.asarray(timesteps),
                 jnp.asarray(sigmas),
                 jnp.float32(guidance),
+                pos_offset,
                 trainable_tokens=trainable,
                 temp=temp,
                 height=h,

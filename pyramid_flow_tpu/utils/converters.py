@@ -21,6 +21,7 @@ import numpy as np
 __all__ = [
     "load_state_dict",
     "convert_flux_dit",
+    "convert_mmdit",
     "convert_vae",
     "convert_t5",
     "convert_clip",
@@ -152,6 +153,59 @@ def convert_flux_dit(sd: Dict[str, np.ndarray]) -> dict:
             _set(p, f"{f}/attn/{name}/scale", sd[f"{t}.attn.{name}.weight"])
         _lin(sd, p, f"{t}.proj_mlp", f"{f}/proj_mlp")
         _lin(sd, p, f"{t}.proj_out", f"{f}/proj_out")
+
+    _lin(sd, p, "norm_out.linear", "norm_out/linear")
+    _lin(sd, p, "proj_out", "proj_out")
+    return {"params": p}
+
+
+# ================================================================== mmdit
+def convert_mmdit(sd: Dict[str, np.ndarray]) -> dict:
+    """Reference ``PyramidDiffusionMMDiT`` state dict -> our flax tree."""
+    p: dict = {}
+
+    _lin(sd, p, "time_text_embed.timestep_embedder.linear_1",
+         "time_text_embed/timestep_embedder_1")
+    _lin(sd, p, "time_text_embed.timestep_embedder.linear_2",
+         "time_text_embed/timestep_embedder_2")
+    _lin(sd, p, "time_text_embed.text_embedder.linear_1",
+         "time_text_embed/text_embedder_1")
+    _lin(sd, p, "time_text_embed.text_embedder.linear_2",
+         "time_text_embed/text_embedder_2")
+    _lin(sd, p, "context_embedder", "context_embedder")
+
+    # PatchEmbed3D: conv2d [D, C, p1, p2] -> Dense over (p1, p2, c) features
+    w = sd["pos_embed.proj.weight"]
+    dout, c, p1, p2 = w.shape
+    _set(p, "pos_embed_proj/kernel",
+         np.ascontiguousarray(w.transpose(2, 3, 1, 0).reshape(p1 * p2 * c, dout)))
+    _set(p, "pos_embed_proj/bias", sd["pos_embed.proj.bias"])
+    if "pos_embed.pos_embed" in sd:
+        table = sd["pos_embed.pos_embed"]  # [1, G*G, D]
+        g = int(np.sqrt(table.shape[1]))
+        _set(p, "pos_embed_table", table.reshape(g, g, -1))
+
+    n = 1 + max(
+        int(m.group(1)) for k in sd
+        if (m := re.match(r"transformer_blocks\.(\d+)\.", k)))
+    for i in range(n):
+        t = f"transformer_blocks.{i}"
+        f = f"transformer_blocks_{i}"
+        _lin(sd, p, f"{t}.norm1.linear", f"{f}/norm1/linear")
+        _lin(sd, p, f"{t}.norm1_context.linear", f"{f}/norm1_context/linear")
+        for name in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj",
+                     "add_v_proj"):
+            _lin(sd, p, f"{t}.attn.{name}", f"{f}/attn/{name}")
+        _lin(sd, p, f"{t}.attn.to_out.0", f"{f}/attn/to_out")
+        if f"{t}.attn.to_add_out.weight" in sd:
+            _lin(sd, p, f"{t}.attn.to_add_out", f"{f}/attn/to_add_out")
+        for name in ("norm_q", "norm_k", "norm_add_q", "norm_add_k"):
+            _set(p, f"{f}/attn/{name}/scale", sd[f"{t}.attn.{name}.weight"])
+        _lin(sd, p, f"{t}.ff.net.0.proj", f"{f}/ff/proj_in")
+        _lin(sd, p, f"{t}.ff.net.2", f"{f}/ff/proj_out")
+        if f"{t}.ff_context.net.0.proj.weight" in sd:
+            _lin(sd, p, f"{t}.ff_context.net.0.proj", f"{f}/ff_context/proj_in")
+            _lin(sd, p, f"{t}.ff_context.net.2", f"{f}/ff_context/proj_out")
 
     _lin(sd, p, "norm_out.linear", "norm_out/linear")
     _lin(sd, p, "proj_out", "proj_out")
