@@ -34,6 +34,7 @@ from .layers import CausalConv3d, GroupNorm
 
 __all__ = [
     "VAEConfig",
+    "apply_causal_conv_out",
     "CausalVideoVAE",
     "gaussian_sample",
     "gaussian_mode",
@@ -104,7 +105,8 @@ class Decoder(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, z, *, is_init=True, temporal_chunk=False):
+    def __call__(self, z, *, is_init=True, temporal_chunk=False,
+                 skip_conv_out=False):
         cfg = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         ck = dict(is_init=is_init, temporal_chunk=temporal_chunk)
@@ -129,6 +131,11 @@ class Decoder(nn.Module):
         z = GroupNorm(num_groups=cfg.num_groups, param_dtype=self.param_dtype,
                       name="conv_norm_out")(z)
         z = nn.silu(z)
+        if skip_conv_out:
+            # GAN adaptive-weight path: the trainer applies conv_out itself so
+            # it can differentiate the loss w.r.t. the last layer only
+            # (reference get_last_layer, modeling_causal_vae.py:343-344)
+            return z
         z = CausalConv3d(cfg.in_channels, (3, 3, 3), name="conv_out", **kw)(z, **ck)
         return z
 
@@ -159,6 +166,12 @@ class CausalVideoVAE(nn.Module):
         h = self.post_quant_conv(z, is_init=is_init, temporal_chunk=temporal_chunk)
         return self.decoder(h, is_init=is_init, temporal_chunk=temporal_chunk)
 
+    def decode_features(self, z):
+        """Decode up to (excluding) the final conv — the GAN trainer applies
+        ``conv_out`` separately for the adaptive generator weight."""
+        h = self.post_quant_conv(z)
+        return self.decoder(h, skip_conv_out=True)
+
     def __call__(self, x, rng=None, sample_posterior=True):
         moments = self.encode(x)
         if sample_posterior:
@@ -167,6 +180,18 @@ class CausalVideoVAE(nn.Module):
             z = gaussian_mode(moments)
         dec = self.decode(z)
         return moments, dec
+
+
+def apply_causal_conv_out(kernel, bias, features):
+    """The decoder's last conv as a pure function of its params (for the GAN
+    adaptive weight: d||loss||/d(last layer) only)."""
+    kt = kernel.shape[0]
+    pad = jnp.zeros((features.shape[0], kt - 1) + features.shape[2:], features.dtype)
+    x = jnp.concatenate([pad, features], axis=1)
+    out = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1, 1),
+        [(0, 0), (1, 1), (1, 1)], dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return out + bias.astype(out.dtype)
 
 
 # ----------------------------------------------------------- posterior math
