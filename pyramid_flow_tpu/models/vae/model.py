@@ -221,6 +221,30 @@ def gaussian_kl(moments):
 
 
 # -------------------------------------------------------- streaming windows
+# jit cache for per-window applies: keyed by (model, method, is_init). The
+# cache collection is threaded as explicit input/output so the whole window
+# step is ONE compiled program — running these eagerly costs hundreds of
+# per-op dispatches per window on a remote-dispatch backend.
+_WINDOW_JIT_CACHE = {}
+
+
+def _jitted_window(model, method_name: str):
+    key = (id(model), method_name)
+    fn = _WINDOW_JIT_CACHE.get(key)
+    if fn is None:
+        def apply_window(variables, cache, x, *, is_init):
+            v = dict(variables)
+            if cache:
+                v["cache"] = cache
+            return model.apply(
+                v, x, is_init=is_init, temporal_chunk=True,
+                method=getattr(model, method_name), mutable=["cache"])
+
+        fn = jax.jit(apply_window, static_argnames=("is_init",))
+        _WINDOW_JIT_CACHE[key] = fn
+    return fn
+
+
 def _window_starts(num_frames: int, window: int):
     """Chunk boundaries: first window is ``window+1`` frames, then ``window``
     (reference ``chunk_encode`` `modeling_causal_vae.py:310-341`)."""
@@ -242,15 +266,9 @@ def chunk_encode(model, variables, x, window_size: int = 16):
     spans = _window_starts(x.shape[1], window_size)
     outs = []
     cache = {}
+    fn = _jitted_window(model, "encode")
     for idx, (s, e) in enumerate(spans):
-        out, mut = model.apply(
-            {**variables, "cache": cache} if cache else variables,
-            x[:, s:e],
-            is_init=(idx == 0),
-            temporal_chunk=True,
-            method=model.encode,
-            mutable=["cache"],
-        )
+        out, mut = fn(variables, cache, x[:, s:e], is_init=(idx == 0))
         cache = mut["cache"]
         outs.append(out)
     return jnp.concatenate(outs, axis=1)
@@ -261,18 +279,22 @@ def chunk_decode(model, variables, z, window_size: int = 2):
     spans = _window_starts(z.shape[1], window_size)
     outs = []
     cache = {}
+    fn = _jitted_window(model, "decode")
     for idx, (s, e) in enumerate(spans):
-        out, mut = model.apply(
-            {**variables, "cache": cache} if cache else variables,
-            z[:, s:e],
-            is_init=(idx == 0),
-            temporal_chunk=True,
-            method=model.decode,
-            mutable=["cache"],
-        )
+        out, mut = fn(variables, cache, z[:, s:e], is_init=(idx == 0))
         cache = mut["cache"]
         outs.append(out)
     return jnp.concatenate(outs, axis=1)
+
+
+def _jitted_plain(model, method_name: str):
+    key = (id(model), method_name, "plain")
+    fn = _WINDOW_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda v, x: model.apply(
+            v, x, method=getattr(model, method_name)))
+        _WINDOW_JIT_CACHE[key] = fn
+    return fn
 
 
 # ------------------------------------------------------------------ tiling
@@ -337,7 +359,7 @@ def tiled_encode(model, variables, x, tile_sample_min_size=256,
     def enc(tile):
         if temporal_chunk:
             return chunk_encode(model, variables, tile, window_size)
-        return model.apply(variables, tile, method=model.encode)
+        return _jitted_plain(model, "encode")(variables, tile)
 
     return _tiled_apply(x, tile_sample_min_size, tile_latent, overlap_factor, enc)
 
@@ -351,6 +373,6 @@ def tiled_decode(model, variables, z, tile_sample_min_size=256,
     def dec(tile):
         if temporal_chunk:
             return chunk_decode(model, variables, tile, window_size)
-        return model.apply(variables, tile, method=model.decode)
+        return _jitted_plain(model, "decode")(variables, tile)
 
     return _tiled_apply(z, tile_latent, tile_sample_min_size, overlap_factor, dec)

@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""DiT training CLI (AR temporal-pyramid or full-sequence).
+
+TPU-native replacement for `train/train_pyramid_flow.py` +
+`trainer_misc/fsdp_trainer.py`: GSPMD over a (dp, fsdp, sp) mesh replaces
+Accelerate FSDP + torchrun; one jitted train step carries noising, forward,
+loss, clip, anomaly-skip, and EMA. Data comes from pre-extracted latents
+(+ text features) via the length-grouped bucketeer.
+
+Single-program SPMD: run once per host (jax.distributed auto-init under
+multi-host launchers); no rank math in user code.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    # model
+    p.add_argument("--model_name", default="pyramid_flux",
+                   choices=["pyramid_flux", "pyramid_mmdit"])
+    p.add_argument("--model_path", default=None,
+                   help="released checkpoint root to finetune from")
+    p.add_argument("--model_variant", default="diffusion_transformer_768p")
+    p.add_argument("--load_vae", action="store_true",
+                   help="train from raw pixels (otherwise pre-extracted latents)")
+    # data
+    p.add_argument("--anno_file", required=True)
+    p.add_argument("--null_text_fea", default=None,
+                   help="null_text.npz from extract_text_features.py")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--max_frames", type=int, default=16)
+    # schedule / optimization
+    p.add_argument("--learning_rate", type=float, default=5e-5)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--warmup_steps", type=int, default=1000)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--steps_per_epoch", type=int, default=1000)
+    p.add_argument("--clip_grad", type=float, default=1.0)
+    p.add_argument("--gradient_checkpointing", action="store_true")
+    # pyramid
+    p.add_argument("--use_temporal_pyramid", action="store_true", default=True)
+    p.add_argument("--no_temporal_pyramid", dest="use_temporal_pyramid",
+                   action="store_false")
+    p.add_argument("--sample_ratios", type=int, nargs=3, default=[1, 2, 1])
+    p.add_argument("--max_temporal_length", type=int, default=31)
+    p.add_argument("--frame_per_unit", type=int, default=1)
+    p.add_argument("--video_sync_group", type=int, default=8)
+    p.add_argument("--corrupt_ratio", type=float, default=1 / 3)
+    # parallelism
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--fsdp", type=int, default=0, help="0 = all remaining")
+    p.add_argument("--sp", type=int, default=1)
+    # checkpointing / logging
+    p.add_argument("--output_dir", default="runs/dit")
+    p.add_argument("--save_ckpt_freq", type=int, default=1, help="epochs")
+    p.add_argument("--auto_resume", action="store_true", default=True)
+    p.add_argument("--print_freq", type=int, default=20)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    from pyramid_flow_tpu.data.datasets import LengthGroupedVideoTextDataset
+    from pyramid_flow_tpu.data.loaders import (
+        create_length_grouped_video_text_dataloader)
+    from pyramid_flow_tpu.models.flux.model import FluxConfig, PyramidFluxTransformer
+    from pyramid_flow_tpu.models.mmdit.model import MMDiTConfig, PyramidDiffusionMMDiT
+    from pyramid_flow_tpu.parallel.mesh import (
+        MeshConfig, batch_spec, make_mesh, param_sharding)
+    from pyramid_flow_tpu.pipeline.noising import sample_stage_length
+    from pyramid_flow_tpu.schedulers.flow_matching import (
+        PyramidFlowMatchEulerDiscreteScheduler)
+    from pyramid_flow_tpu.training.lr_schedules import cosine_schedule
+    from pyramid_flow_tpu.training.train_state import TrainConfig, create_train_state
+    from pyramid_flow_tpu.training.trainer import make_train_step
+    from pyramid_flow_tpu.utils.checkpoint import (
+        auto_resume, load_pretrained_components, save_checkpoint)
+    from pyramid_flow_tpu.utils.metrics import MetricLogger
+
+    n = len(jax.devices())
+    fsdp = args.fsdp or max(n // (args.dp * args.sp), 1)
+    mesh = make_mesh(MeshConfig(dp=args.dp, fsdp=fsdp, sp=args.sp))
+    print(f"mesh: {dict(mesh.shape)}", file=sys.stderr)
+
+    dtype = jnp.bfloat16
+    if args.model_name == "pyramid_flux":
+        dit = PyramidFluxTransformer(
+            config=FluxConfig(), dtype=dtype, mesh=mesh,
+            remat=args.gradient_checkpointing)
+    else:
+        dit = PyramidDiffusionMMDiT(
+            config=MMDiTConfig(), dtype=dtype, mesh=mesh,
+            remat=args.gradient_checkpointing)
+    sched = PyramidFlowMatchEulerDiscreteScheduler()
+
+    # init / load params
+    if args.model_path:
+        comps = load_pretrained_components(
+            args.model_path, args.model_variant, args.model_name,
+            load_vae=args.load_vae)
+        params = comps["dit"]
+    else:
+        b = args.batch_size
+        params = dit.init(
+            jax.random.PRNGKey(args.seed),
+            jnp.zeros((b, 64, 64)), jnp.zeros((b, 64, 3)),
+            jnp.zeros((b, 64), jnp.int32), jnp.zeros((b, 128, 4096)),
+            jnp.ones((b, 128), bool), jnp.zeros((b, 768)), jnp.zeros((b,)))
+
+    with jax.set_mesh(mesh):
+        params = jax.device_put(params, param_sharding(mesh, params))
+        lr = cosine_schedule(args.learning_rate, 1e-6, args.steps_per_epoch,
+                             args.epochs, args.warmup_steps)
+        state = create_train_state(params, TrainConfig(
+            learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+            max_grad_norm=args.clip_grad, lr_schedule=lr))
+        start_step = 0
+        if args.auto_resume:
+            state, start_step = auto_resume(args.output_dir, state)
+            if start_step:
+                print(f"resumed from step {start_step}", file=sys.stderr)
+
+        step_fn = make_train_step(
+            dit, sched, tuple(args.sample_ratios), args.use_temporal_pyramid,
+            args.frame_per_unit, args.corrupt_ratio)
+
+        ds = LengthGroupedVideoTextDataset(args.anno_file, args.max_frames)
+        loader = create_length_grouped_video_text_dataloader(
+            ds, args.batch_size, rank=jax.process_index(),
+            world=jax.process_count(), sync_group=args.video_sync_group)
+
+        null = (np.load(args.null_text_fea) if args.null_text_fea else None)
+        logger = MetricLogger(
+            log_file=os.path.join(args.output_dir, "log.txt"),
+            print_fn=lambda m: print(m, file=sys.stderr))
+        rng = jax.random.PRNGKey(args.seed)
+        rank = jax.process_index()
+
+        step = start_step
+        for epoch in range(args.epochs):
+            for _ in range(args.steps_per_epoch):
+                batch_np = next(loader)
+                b = batch_np["latents"].shape[0]
+                lt = batch_np["text_emb"].shape[1] if "text_emb" in batch_np else 128
+                batch = {
+                    "latents": batch_np["latents"],
+                    "text_emb": batch_np.get(
+                        "text_emb", np.zeros((b, lt, 4096), np.float32)),
+                    "text_mask": batch_np.get(
+                        "text_mask", np.ones((b, lt), bool)),
+                    "pooled": batch_np.get(
+                        "pooled", np.zeros((b, 768), np.float32)),
+                }
+                if null is not None:
+                    batch["null_text_emb"] = np.broadcast_to(
+                        null["prompt_embed"][None], batch["text_emb"].shape)
+                    batch["null_pooled"] = np.broadcast_to(
+                        null["pooled_prompt_embed"][None], batch["pooled"].shape)
+                else:
+                    batch["null_text_emb"] = np.zeros_like(batch["text_emb"])
+                    batch["null_pooled"] = np.zeros_like(batch["pooled"])
+                batch = {
+                    k: jax.device_put(
+                        jnp.asarray(v),
+                        NamedSharding(mesh, batch_spec(np.ndim(v) - 1)))
+                    for k, v in batch.items()
+                }
+
+                max_units = 1 + (batch["latents"].shape[1] - 1) // args.frame_per_unit
+                units = tuple(sample_stage_length(
+                    rank, step, 3, args.max_temporal_length,
+                    args.frame_per_unit, args.video_sync_group, max_units))
+
+                state, metrics = step_fn(state, batch, rng,
+                                         num_units_per_stage=units)
+                logger.update(**{k.split("/")[-1]: float(v)
+                                 for k, v in metrics.items()})
+                if step % args.print_freq == 0:
+                    logger.print_fn(f"epoch {epoch} step {step}  {logger}")
+                step += 1
+
+            logger.write_epoch_log(epoch)
+            if (epoch + 1) % args.save_ckpt_freq == 0 and jax.process_index() == 0:
+                save_checkpoint(args.output_dir, step, state)
+                print(f"saved checkpoint-{step}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
