@@ -60,7 +60,15 @@ class CausalConv3d(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
 
-        if temporal_chunk and kt > 1:
+        from ...parallel.cp import current_cp_axis, halo_exchange
+
+        cp_axis = current_cp_axis()
+        if cp_axis is not None and kt > 1:
+            # context-parallel: halo frames come from the previous device
+            # instead of local zero padding (reference
+            # context_parallel_forward, modeling_causal_conv.py:95-114)
+            x = halo_exchange(x, kt - 1, cp_axis)
+        elif temporal_chunk and kt > 1:
             cache = self.variable(
                 "cache",
                 "front_feat",

@@ -1,0 +1,97 @@
+"""Temporal context parallelism for the causal VAE (halo exchange).
+
+TPU-native replacement for the reference's VAE context-parallel machinery
+(`video_vae/context_parallel_ops.py`, `utils.py:19-105`,
+`modeling_causal_conv.py:95-114`): the per-conv isend/irecv halo exchange
+becomes a ``jax.lax.ppermute`` of the last ``k_t - 1`` frames to the next
+device along a ``cp`` mesh axis; the first device's halo is zeroed (the
+causal boundary), which is exactly the reference's front zero-padding.
+
+Differences from the reference (deliberate, SPMD-friendly):
+* shards are uniform — each device holds ``T/cp`` frames (the reference gives
+  rank 0 one extra frame; SPMD traces one program for all devices, so we
+  require ``T % cp == 0``). Stride-2 temporal convs stay aligned when the
+  per-device frame count is even at every downsampling level.
+* gradients flow through ``ppermute`` automatically (the reference wraps the
+  exchange in hand-written ``autograd.Function``s).
+
+Usage::
+
+    with cp_context("cp"):
+        out = shard_map(lambda x: vae.apply(vars, x, method=vae.encode),
+                        mesh, in_specs=P(None, "cp"), out_specs=P(None, "cp"))(x)
+
+Inside the context, every ``CausalConv3d`` performs halo exchange instead of
+local zero padding.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+__all__ = ["cp_context", "current_cp_axis", "halo_exchange", "cp_vae_apply"]
+
+_STATE = threading.local()
+
+
+@contextlib.contextmanager
+def cp_context(axis_name: str):
+    """Enable context-parallel halo exchange for CausalConv3d during trace."""
+    prev = getattr(_STATE, "axis", None)
+    _STATE.axis = axis_name
+    try:
+        yield
+    finally:
+        _STATE.axis = prev
+
+
+def current_cp_axis() -> Optional[str]:
+    return getattr(_STATE, "axis", None)
+
+
+def halo_exchange(x: jnp.ndarray, halo_frames: int, axis_name: str) -> jnp.ndarray:
+    """Prepend the previous device's last ``halo_frames`` along time (axis 1).
+
+    Device 0 receives zeros (causal start). Equivalent to the reference's
+    ``_cp_pass_from_previous_rank`` (`context_parallel_ops.py:76-114`).
+    """
+    n = jax.lax.axis_size(axis_name)
+    assert x.shape[1] >= halo_frames, (
+        f"per-device clip ({x.shape[1]} frames) smaller than the halo "
+        f"({halo_frames}); use fewer cp shards or longer clips")
+    halo = x[:, -halo_frames:]
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    halo = jax.lax.ppermute(halo, axis_name, perm)
+    is_first = jax.lax.axis_index(axis_name) == 0
+    halo = jnp.where(is_first, jnp.zeros_like(halo), halo)
+    return jnp.concatenate([halo, x], axis=1)
+
+
+def cp_vae_apply(method_fn, mesh: Mesh, x: jnp.ndarray,
+                 axis_name: str = "cp"):
+    """Run a VAE method with the time axis sharded over ``axis_name``.
+
+    method_fn: x_shard -> y_shard (e.g. a closure over vae.apply).
+    x: [B, T, H, W, C] with T divisible by the cp axis size; per-device
+    frames must stay >= 2 (the conv halo) through every temporal downsample
+    level — i.e. T/cp >= 16 for the default 8x temporal compression.
+    """
+    def inner(x_shard):
+        with cp_context(axis_name):
+            return method_fn(x_shard)
+
+    shmap = jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=P(None, axis_name),
+        out_specs=P(None, axis_name),
+        check_vma=False,
+    )
+    # jit so closure params become proper committed constants on the mesh
+    return jax.jit(shmap)(x)
