@@ -20,10 +20,13 @@ Env overrides: BENCH_TEMP (latent units, default 16 = 5 s), BENCH_HEIGHT,
 BENCH_WIDTH, BENCH_SKIP_WARMUP=1.
 """
 
+import faulthandler
 import json
 import os
 import sys
 import time
+
+faulthandler.dump_traceback_later(900, repeat=True, file=sys.stderr)
 
 import jax
 import jax.numpy as jnp
