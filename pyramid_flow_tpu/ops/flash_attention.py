@@ -341,8 +341,8 @@ def flash_attention(
     *,
     causal: bool = True,
     sm_scale: Optional[float] = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
 ) -> jnp.ndarray:
     """Flash attention with temporal-causal time-id masking.
 
@@ -361,8 +361,19 @@ def flash_attention(
         sm_scale = q.shape[-1] ** -0.5
 
     lq, lk = q.shape[2], k.shape[2]
-    bq = min(block_q, max(128, lq))
-    bk = min(block_k, max(128, lk))
+
+    def round_up(x, m):
+        return -(-x // m) * m
+
+    def auto_block(l):
+        # Larger tiles amortize VMEM traffic and per-step overhead (measured
+        # ~2x faster at 512 vs 128 for multi-k-block sequences). Cap at the
+        # padded length so short sequences stay single-block; always a
+        # multiple of 128 (TPU lane tiling).
+        return min(512, round_up(max(l, 128), 128))
+
+    bq = block_q if block_q is not None else auto_block(lq)
+    bk = block_k if block_k is not None else auto_block(lk)
 
     qp = _pad_to(q, 2, bq)
     kp = _pad_to(k, 2, bk)

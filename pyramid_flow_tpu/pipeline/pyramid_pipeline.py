@@ -324,6 +324,9 @@ class PyramidFlowPipeline:
         video_num_inference_steps: Sequence[int] | int = 10,
         guidance_scale: float = 7.0,
         video_guidance_scale: float = 5.0,
+        use_linear_guidance: bool = False,
+        alpha: float = 0.5,
+        min_guidance_scale: float = 2.0,
         output_type: str = "latent",
         save_memory: bool = True,
         input_image_latent: Optional[jnp.ndarray] = None,
@@ -372,13 +375,19 @@ class PyramidFlowPipeline:
             self._cond_token_budget(max_unit, h_lat, w_lat) if max_unit else None
         )
 
+        # per-unit linear guidance decay (reference :1075-1079,1133-1135)
+        if use_linear_guidance:
+            g_list = [max(guidance_scale - alpha * t_, min_guidance_scale)
+                      for t_ in range(temp)]
         for unit_index in unit_range:
+            g = g_list[unit_index] if use_linear_guidance else guidance_scale
+            vg = g_list[unit_index] if use_linear_guidance else video_guidance_scale
             rng, sub = jax.random.split(rng)
             if unit_index == 0:
                 past = [[] for _ in range(self.num_stages)]
                 intermed = self.generate_one_unit(
                     sub, latents[:, :1], past, pe, pm, pp,
-                    num_inference_steps, guidance_scale,
+                    num_inference_steps, g,
                 )
             else:
                 history = jnp.concatenate(generated, axis=1)
@@ -389,7 +398,7 @@ class PyramidFlowPipeline:
                     start = (unit_index - 1) * fpu
                 intermed = self.generate_one_unit(
                     sub, latents[:, start: start + fpu], past, pe, pm, pp,
-                    video_num_inference_steps, video_guidance_scale,
+                    video_num_inference_steps, vg,
                     pad_cond_to=pad_cond_to,
                 )
             generated.append(intermed[-1].astype(jnp.float32))
