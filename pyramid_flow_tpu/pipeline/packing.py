@@ -73,6 +73,27 @@ def clip_positions(temp: int, height: int, width: int, train_height: int,
     return grid.reshape(-1, 3)
 
 
+def clip_metadata(
+    shapes: Sequence[Tuple[int, ...]], patch: int = 2
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """(positions, time_ids, trainable) from clip SHAPES alone — pure host
+    numpy, no device ops. shapes: [(B, T, H, W, C), ...]; last = current."""
+    train_h = shapes[-1][2] // patch
+    train_w = shapes[-1][3] // patch
+    pos_list, time_list = [], []
+    start_t = 0
+    for (_, t, h, w, _) in shapes:
+        hp, wp = h // patch, w // patch
+        pos_list.append(clip_positions(t, hp, wp, train_h, train_w, start_t))
+        time_list.append(np.repeat(
+            np.arange(start_t, start_t + t, dtype=np.int32), hp * wp))
+        start_t += t
+    _, t, h, w, _ = shapes[-1]
+    trainable = t * (h // patch) * (w // patch)
+    return (np.concatenate(pos_list, axis=0),
+            np.concatenate(time_list, axis=0), trainable)
+
+
 def pack_clips(
     clips: Sequence[jnp.ndarray], patch: int = 2
 ) -> Tuple[jnp.ndarray, np.ndarray, np.ndarray, int]:

@@ -26,7 +26,7 @@ from ..ops.blocknoise import sample_block_noise
 from ..ops.resample import avg_pool_2x, nearest_up_2x
 from ..schedulers.flow_matching import PyramidFlowMatchEulerDiscreteScheduler
 from .noising import latent_pyramid
-from .packing import pack_clips, patchify, unpatchify
+from .packing import clip_metadata, pack_clips, patchify, unpatchify
 
 __all__ = ["PyramidFlowPipeline"]
 
@@ -103,6 +103,8 @@ class PyramidFlowPipeline:
             static_argnames=("trainable_tokens", "temp", "height", "width"),
             donate_argnames=("latents",),
         )
+        self._pack_cond_jit = jax.jit(
+            self._pack_cond, static_argnames=("budget",))
 
     # ------------------------------------------------------------ helpers
     def normalize_latent(self, x):
@@ -121,6 +123,16 @@ class PyramidFlowPipeline:
             return first
         rest = x[:, 1:] / self.vae_video_scale_factor + self.vae_video_shift_factor
         return jnp.concatenate([first, rest], axis=1)
+
+    def _pack_cond(self, clips, *, budget: int):
+        """Patchify+concat conditioning clips, left-pad to ``budget`` tokens,
+        CFG-double — one compiled program per history shape bucket."""
+        tokens = jnp.concatenate(
+            [patchify(c.astype(self.dtype)) for c in clips], axis=1)
+        pad = budget - tokens.shape[1]
+        if pad:
+            tokens = jnp.pad(tokens, ((0, 0), (pad, 0), (0, 0)))
+        return jnp.concatenate([tokens, tokens], axis=0)
 
     # ----------------------------------------------------- denoise (jitted)
     def _denoise_stage_loop(
@@ -209,26 +221,26 @@ class PyramidFlowPipeline:
                 latents = alpha * latents + beta * noise
 
             b, temp, h, w, c = latents.shape
-            clips = past_conditions[i_s] + [jnp.zeros_like(latents)]
-            all_tokens, positions, time_ids, trainable = pack_clips(clips)
-            cond_tokens = all_tokens[:, : all_tokens.shape[1] - trainable]
+            shapes = [tuple(cl.shape) for cl in past_conditions[i_s]]
+            shapes.append(tuple(latents.shape))
+            positions, time_ids, trainable = clip_metadata(shapes)
+            lc = positions.shape[0] - trainable
 
-            if pad_cond_to is not None:
-                lc = cond_tokens.shape[1]
-                budget = pad_cond_to[i_s]
-                assert lc <= budget, (lc, budget)
-                pad = budget - lc
-                if pad:
-                    cond_tokens = jnp.pad(cond_tokens, ((0, 0), (pad, 0), (0, 0)))
-                    positions = np.concatenate(
-                        [np.zeros((pad, 3), np.float32), positions[:lc],
-                         positions[lc:]], axis=0)
-                    time_ids = np.concatenate(
-                        [np.full((pad,), INVALID_TIME, np.int32), time_ids[:lc],
-                         time_ids[lc:]], axis=0)
+            budget = pad_cond_to[i_s] if pad_cond_to is not None else lc
+            assert lc <= budget, (lc, budget)
+            pad = budget - lc
+            if pad:
+                positions = np.concatenate(
+                    [np.zeros((pad, 3), np.float32), positions], axis=0)
+                time_ids = np.concatenate(
+                    [np.full((pad,), INVALID_TIME, np.int32), time_ids], axis=0)
 
-            cond_tokens = jnp.concatenate(
-                [cond_tokens, cond_tokens], axis=0).astype(self.dtype)
+            # one jitted program packs+pads+CFG-doubles the conditioning
+            if past_conditions[i_s]:
+                cond_tokens = self._pack_cond_jit(
+                    tuple(past_conditions[i_s]), budget=budget)
+            else:
+                cond_tokens = jnp.zeros((2 * b, budget, 4 * c), self.dtype)
 
             if self.model_name == "pyramid_mmdit":
                 # SD3 sincos table crop origin for the current clip's grid
