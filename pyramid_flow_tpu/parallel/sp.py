@@ -61,9 +61,27 @@ def sp_flash_attention(
     q, k, v: [B, H, L, D] logical arrays (L gets sharded over ``sp``);
     time_ids: [B, L] (replicated). Heads must divide the sp axis size.
     """
-    if mesh.shape[axis_name] == 1:
+    sp = mesh.shape[axis_name]
+    if sp == 1:
         return flash_attention(q, k, v, time_ids, causal=causal,
                                sm_scale=sm_scale)
+    assert q.shape[1] % sp == 0, (
+        f"heads ({q.shape[1]}) must divide the sp axis ({sp})")
+
+    # pad the sequence so each shard is a whole number of kernel blocks;
+    # padded keys carry INVALID time so they never contribute
+    from ..ops.flash_attention import INVALID_TIME
+
+    l = q.shape[2]
+    target = -(-l // (sp * 128)) * (sp * 128)
+    pad = target - l
+    if pad:
+        padding = [(0, 0), (0, 0), (0, pad), (0, 0)]
+        q = jnp.pad(q, padding)
+        k = jnp.pad(k, padding)
+        v = jnp.pad(v, padding)
+        time_ids = jnp.pad(time_ids, [(0, 0), (0, pad)],
+                           constant_values=INVALID_TIME)
 
     fn = functools.partial(
         ulysses_attention_core, axis_name=axis_name, causal=causal,
@@ -80,4 +98,5 @@ def sp_flash_attention(
         out_specs=P(None, None, axis_name, None),
         check_vma=False,
     )
-    return shmap(q, k, v, time_ids)
+    out = shmap(q, k, v, time_ids)
+    return out[:, :, :l] if pad else out
