@@ -27,6 +27,10 @@ import sys
 import time
 
 faulthandler.dump_traceback_later(900, repeat=True, file=sys.stderr)
+# persistent compilation cache: repeat bench runs skip the warmup compiles
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 import jax
 import jax.numpy as jnp

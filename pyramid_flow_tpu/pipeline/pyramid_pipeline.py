@@ -97,6 +97,7 @@ class PyramidFlowPipeline:
         self.vae_video_shift_factor = -0.2343
         self.vae_video_scale_factor = 1 / 3.0986
         self.pos_embed_max_size = 192  # SD3 sincos table size (mmdit only)
+        self.MAX_STEPS = 64  # timestep-buffer size (dynamic trip count)
 
         self._denoise_jit = jax.jit(
             self._denoise_stage_loop,
@@ -145,8 +146,9 @@ class PyramidFlowPipeline:
         prompt_embeds,      # [2B, Lt, joint]
         prompt_mask,        # [2B, Lt] bool
         pooled,             # [2B, pooled_dim]
-        timesteps,          # [n] float32
-        sigmas,             # [n+1] float32
+        timesteps,          # [MAX_STEPS] float32 (padded)
+        sigmas,             # [MAX_STEPS+1] float32 (padded)
+        num_steps,          # [] int32 — actual step count (dynamic)
         guidance,           # scalar
         pos_offset,         # [2B, 2] table crop origin (mmdit) or None (flux)
         *,
@@ -155,11 +157,14 @@ class PyramidFlowPipeline:
         height: int,
         width: int,
     ):
-        """CFG Euler loop for one stage — a single fori_loop on device."""
+        """CFG Euler loop for one stage — a single fori_loop on device.
+
+        ``num_steps`` is a traced scalar: image-frame (20-step) and video
+        (10-step) cascades share ONE compiled program per stage."""
         b = latents.shape[0]
         pos2 = jnp.broadcast_to(positions, (2 * b,) + positions.shape[1:])
         time2 = jnp.broadcast_to(time_ids, (2 * b,) + time_ids.shape[1:])
-        n = timesteps.shape[0]
+        n = num_steps
 
         def step(i, lat):
             lat_tokens = patchify(lat.astype(self.dtype))
@@ -252,6 +257,12 @@ class PyramidFlowPipeline:
             else:
                 pos_offset = None
 
+            n = len(timesteps)
+            ts_pad = np.zeros((self.MAX_STEPS,), np.float32)
+            ts_pad[:n] = timesteps
+            sig_pad = np.zeros((self.MAX_STEPS + 1,), np.float32)
+            sig_pad[: n + 1] = sigmas
+
             latents = self._denoise_jit(
                 self.dit_params,
                 latents,
@@ -261,8 +272,9 @@ class PyramidFlowPipeline:
                 prompt_embeds,
                 prompt_mask,
                 pooled,
-                jnp.asarray(timesteps),
-                jnp.asarray(sigmas),
+                jnp.asarray(ts_pad),
+                jnp.asarray(sig_pad),
+                jnp.int32(n),
                 jnp.float32(guidance),
                 pos_offset,
                 trainable_tokens=trainable,
@@ -396,10 +408,14 @@ class PyramidFlowPipeline:
             vg = g_list[unit_index] if use_linear_guidance else video_guidance_scale
             rng, sub = jax.random.split(rng)
             if unit_index == 0:
+                # unit 0 uses the SAME padded cond budget (fully masked):
+                # with equal step counts the whole video then reuses ONE
+                # compiled denoise program per stage
                 past = [[] for _ in range(self.num_stages)]
                 intermed = self.generate_one_unit(
                     sub, latents[:, :1], past, pe, pm, pp,
                     num_inference_steps, g,
+                    pad_cond_to=pad_cond_to,
                 )
             else:
                 history = jnp.concatenate(generated, axis=1)
