@@ -370,6 +370,10 @@ class PyramidFlowPipeline:
 
         b = prompt_embeds.shape[0]
         h_lat, w_lat = height // self.downsample, width // self.downsample
+        min_div = self.downsample * 2 * (2 ** (self.num_stages - 1))
+        assert height % min_div == 0 and width % min_div == 0, (
+            f"height/width must be divisible by {min_div} "
+            f"(8x VAE x 2 patch x {2**(self.num_stages-1)} pyramid)")
         rng, sub = jax.random.split(rng)
         latents = jax.random.normal(
             sub, (b, temp, h_lat, w_lat, self.latent_channels), jnp.float32)

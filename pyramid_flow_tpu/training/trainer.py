@@ -34,7 +34,8 @@ from ..pipeline.packing import pack_clips
 from ..schedulers.flow_matching import PyramidFlowMatchEulerDiscreteScheduler
 from .train_state import TrainState
 
-__all__ = ["dit_loss_fn", "make_train_step", "stage_row_split"]
+__all__ = ["dit_loss_fn", "make_train_step", "stage_row_split",
+           "top_grad_offenders"]
 
 
 def stage_row_split(batch_size: int, sample_ratios: Sequence[int]):
@@ -164,3 +165,16 @@ def make_train_step(
 def optax_global_norm(tree):
     leaves = jax.tree.leaves(tree)
     return jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in leaves))
+
+
+def top_grad_offenders(grads, k: int = 5):
+    """Per-parameter grad norms, largest first (reference ``get_grad_norm_``
+    top-5 offender printout, `trainer_misc/utils.py:475-498`). Host-side
+    debugging aid — call on materialized grads outside the jitted step."""
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    norms = [
+        ("/".join(str(p) for p in path),
+         float(jnp.linalg.norm(leaf.astype(jnp.float32))))
+        for path, leaf in flat
+    ]
+    return sorted(norms, key=lambda kv: -kv[1])[:k]
