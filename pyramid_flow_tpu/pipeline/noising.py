@@ -35,6 +35,7 @@ from ..schedulers.flow_matching import PyramidFlowMatchEulerDiscreteScheduler
 
 __all__ = [
     "StageBatch",
+    "normalize_latent",
     "noise_pyramid",
     "latent_pyramid",
     "stage_endpoints",
@@ -42,6 +43,26 @@ __all__ = [
     "add_ar_noise_stage",
     "sample_stage_length",
 ]
+
+
+# latent normalization constants (reference pipeline :164-176)
+_LATENT_NORMS = {
+    "pyramid_flux": (-0.04, 1 / 1.8726),
+    "pyramid_mmdit": (0.1490, 1 / 1.8415),
+}
+_VIDEO_NORM = (-0.2343, 1 / 3.0986)
+
+
+def normalize_latent(x, model_name: str = "pyramid_flux"):
+    """Raw VAE latent -> model space; frame 0 uses image stats (reference
+    ``get_vae_latent`` :578-584). x: [B, T, H, W, C]."""
+    shift, scale = _LATENT_NORMS[model_name]
+    vshift, vscale = _VIDEO_NORM
+    first = (x[:, :1] - shift) * scale
+    if x.shape[1] == 1:
+        return first
+    rest = (x[:, 1:] - vshift) * vscale
+    return jnp.concatenate([first, rest], axis=1)
 
 
 class StageBatch(NamedTuple):

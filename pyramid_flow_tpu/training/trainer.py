@@ -119,17 +119,34 @@ def make_train_step(
     corrupt_ratio: float = 1.0 / 3,
     cfg_rate: float = 0.1,
     donate: bool = True,
+    vae=None,
+    vae_params=None,
+    model_name: str = "pyramid_flux",
 ):
     """Build the jitted train step.
 
     step(state, batch, rng, num_units_per_stage) -> (state, metrics)
-    batch: dict(latents, text_emb, text_mask, pooled, null_text_emb,
+    batch: dict(latents | video, text_emb, text_mask, pooled, null_text_emb,
     null_pooled). ``num_units_per_stage`` is a static tuple (shape bucket).
+    Pass ``vae``/``vae_params`` to train from raw pixels (the reference's
+    ``load_vae`` online-encode path, pipeline :574-576): ``batch["video"]``
+    [B, T, H, W, 3] is encoded+normalized inside the step.
     """
+    from ..models.vae.model import gaussian_sample
+    from ..pipeline.noising import normalize_latent
 
     def step_fn(state: TrainState, batch: Dict, rng,
                 num_units_per_stage: Tuple[int, ...]):
-        rng_drop, rng_noise = jax.random.split(jax.random.fold_in(rng, state.step))
+        rng_drop, rng_noise, rng_vae = jax.random.split(
+            jax.random.fold_in(rng, state.step), 3)
+
+        if "video" in batch:
+            assert vae is not None, "raw-pixel batch needs vae/vae_params"
+            moments = jax.lax.stop_gradient(vae.apply(
+                vae_params, batch["video"], method=vae.encode))
+            z = gaussian_sample(moments, rng_vae)
+            batch = dict(batch)
+            batch["latents"] = normalize_latent(z, model_name)
 
         # 10% CFG text drop (reference get_text_embeddings :597-614)
         b = batch["latents"].shape[0]
