@@ -66,36 +66,47 @@ def _fwd_kernel(tq_ref, tk_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0]  # [bq, d]
-    k = k_ref[0, 0]  # [bk, d]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s *= sm_scale
-
     tq = tq_ref[0, 0].reshape(-1, 1)
     tk = tk_ref[0, 0].reshape(1, -1)
-    mask = _mask_tile(tq, tk, causal)
-    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    # block-level skip: if no key in this tile is visible to any query in the
+    # q tile (all later-in-time or invalid), skip the matmuls entirely —
+    # time ids are non-decreasing along the sequence, so for AR layouts this
+    # prunes the strictly-upper-triangular tiles
+    if causal:
+        should_run = jnp.min(tk) <= jnp.max(tq)
+    else:
+        should_run = jnp.min(tk) != INVALID_TIME
 
-    m_prev = m_scr[...]  # [bq, 128]
-    l_prev = l_scr[...]
-    m_curr = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
-    m_next = jnp.maximum(m_prev, m_curr)  # broadcast -> [bq, 128]
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next[:, :1])
-    # Fully-masked k-tile contributes nothing (p of mask_value rows ~ 0 when
-    # other tiles have real entries; if ALL tiles are masked, l stays ~0 and
-    # the final normalization maps output to 0).
-    p = jnp.where(mask, p, 0.0)
-    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0]  # [bq, d]
+        k = k_ref[0, 0]  # [bk, d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s *= sm_scale
 
-    m_scr[...] = m_next
-    l_scr[...] = l_next
+        mask = _mask_tile(tq, tk, causal)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
-    v = v_ref[0, 0]  # [bk, d]
-    pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+        m_prev = m_scr[...]  # [bq, 128]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
+        m_next = jnp.maximum(m_prev, m_curr)  # broadcast -> [bq, 128]
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        # Fully-masked k-tile contributes nothing (p of mask_value rows ~ 0
+        # when other tiles have real entries; if ALL tiles are masked, l
+        # stays ~0 and the final normalization maps output to 0).
+        p = jnp.where(mask, p, 0.0)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        v = v_ref[0, 0]  # [bk, d]
+        pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
     @pl.when(kv_idx == num_k_blocks - 1)
     def _finalize():
@@ -159,34 +170,41 @@ def _bwd_dkv_kernel(tq_ref, tk_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0, 0]        # [bq, d]
-    k = k_ref[0, 0]        # [bk, d]
-    v = v_ref[0, 0]        # [bk, d]
-    do = do_ref[0, 0]      # [bq, d]
-    lse = lse_ref[0, 0]    # [bq, 128] (replicated lanes)
-    delta = delta_ref[0, 0]
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale
     tq = tq_ref[0, 0].reshape(-1, 1)
     tk = tk_ref[0, 0].reshape(1, -1)
-    mask = _mask_tile(tq, tk, causal)
-    # p = exp(s - lse); fully-masked rows have lse = -inf -> p = 0 via mask
-    p = jnp.where(mask, jnp.exp(s - lse[:, :1]), 0.0)
+    if causal:
+        should_run = jnp.min(tk) <= jnp.max(tq)
+    else:
+        should_run = jnp.min(tk) != INVALID_TIME
 
-    dv_scr[...] += jax.lax.dot_general(
-        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ds = p * (dp - delta[:, :1]) * sm_scale
-    dk_scr[...] += jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0]        # [bq, d]
+        k = k_ref[0, 0]        # [bk, d]
+        v = v_ref[0, 0]        # [bk, d]
+        do = do_ref[0, 0]      # [bq, d]
+        lse = lse_ref[0, 0]    # [bq, 128] (replicated lanes)
+        delta = delta_ref[0, 0]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        mask = _mask_tile(tq, tk, causal)
+        # p = exp(s - lse); fully-masked rows get a huge lse -> p = 0
+        p = jnp.where(mask, jnp.exp(s - lse[:, :1]), 0.0)
+
+        dv_scr[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta[:, :1]) * sm_scale
+        dk_scr[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(q_idx == num_q_blocks - 1)
     def _store():
@@ -202,28 +220,35 @@ def _bwd_dq_kernel(tq_ref, tk_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
-    lse = lse_ref[0, 0]
-    delta = delta_ref[0, 0]
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale
     tq = tq_ref[0, 0].reshape(-1, 1)
     tk = tk_ref[0, 0].reshape(1, -1)
-    mask = _mask_tile(tq, tk, causal)
-    p = jnp.where(mask, jnp.exp(s - lse[:, :1]), 0.0)
+    if causal:
+        should_run = jnp.min(tk) <= jnp.max(tq)
+    else:
+        should_run = jnp.min(tk) != INVALID_TIME
 
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ds = p * (dp - delta[:, :1]) * sm_scale
-    dq_scr[...] += jax.lax.dot(
-        ds.astype(k.dtype), k, preferred_element_type=jnp.float32
-    )
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        mask = _mask_tile(tq, tk, causal)
+        p = jnp.where(mask, jnp.exp(s - lse[:, :1]), 0.0)
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta[:, :1]) * sm_scale
+        dq_scr[...] += jax.lax.dot(
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+        )
 
     @pl.when(kv_idx == num_k_blocks - 1)
     def _store():

@@ -333,6 +333,12 @@ class PyramidFlowPipeline:
                 # remainder frames: total history frames minus consumed units
                 total_hist = 1 + (unit_index - 1) * fpu
                 toks += (total_hist - cur_unit_ptx * fpu) * frame_tokens(0)
+            # round so the full sequence (text 128 + cond + current) lands on
+            # a flash-kernel block boundary — the kernel then skips its
+            # pad/slice ops entirely (measured ~12 ms/forward of pure padding)
+            latent_toks = fpu * frame_tokens(i_s)
+            total = 128 + toks + latent_toks
+            toks += (-total) % 256
             budgets.append(toks)
         return budgets
 
