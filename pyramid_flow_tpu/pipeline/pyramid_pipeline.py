@@ -107,6 +107,34 @@ class PyramidFlowPipeline:
         self._pack_cond_jit = jax.jit(
             self._pack_cond, static_argnames=("budget",))
 
+    @classmethod
+    def from_pretrained(cls, model_path: str,
+                        model_variant: str = "diffusion_transformer_768p",
+                        model_name: str = "pyramid_flux",
+                        load_vae: bool = True,
+                        dtype=jnp.bfloat16,
+                        mesh=None,
+                        **kwargs):
+        """Build a pipeline from a released checkpoint dir (HF snapshot
+        layout; mirrors the reference ctor's component loading :138-159).
+        Text encoding stays separate — see ``models.text.encoder``."""
+        from ..models.flux.model import FluxConfig, PyramidFluxTransformer
+        from ..models.mmdit.model import MMDiTConfig, PyramidDiffusionMMDiT
+        from ..models.vae.model import CausalVideoVAE, VAEConfig
+        from ..utils.checkpoint import load_pretrained_components
+
+        comps = load_pretrained_components(
+            model_path, model_variant, model_name, load_vae=load_vae)
+        if model_name == "pyramid_flux":
+            dit = PyramidFluxTransformer(config=FluxConfig(), dtype=dtype,
+                                         mesh=mesh)
+        else:
+            dit = PyramidDiffusionMMDiT(config=MMDiTConfig(), dtype=dtype,
+                                        mesh=mesh)
+        vae = CausalVideoVAE(config=VAEConfig(), dtype=dtype) if load_vae else None
+        return cls(dit, comps["dit"], vae, comps.get("vae"),
+                   model_name=model_name, dtype=dtype, **kwargs)
+
     # ------------------------------------------------------------ helpers
     def normalize_latent(self, x):
         """pixels-encoded latent -> model space; frame 0 uses image stats

@@ -20,6 +20,7 @@ import numpy as np
 
 __all__ = [
     "load_state_dict",
+    "strip_component_prefix",
     "convert_flux_dit",
     "convert_mmdit",
     "convert_vae",
@@ -103,6 +104,26 @@ def _norm(sd, tree, tkey, fpath):
     _set(tree, f"{fpath}/scale", sd[f"{tkey}.weight"])
     if f"{tkey}.bias" in sd:
         _set(tree, f"{fpath}/bias", sd[f"{tkey}.bias"])
+
+
+def strip_component_prefix(sd: Dict[str, np.ndarray], component: str
+                           ) -> Dict[str, np.ndarray]:
+    """Extract one component from a reference trainer checkpoint.
+
+    The reference's trained checkpoints prefix keys with the wrapper attr
+    (``dit.``/``vae.``; pipeline ``load_checkpoint`` :213-241, wrapper
+    ``load_checkpoint`` `causal_video_vae_wrapper.py:65-88`). Returns the
+    sub-dict with the prefix removed (keys already unprefixed pass through
+    for the dit case, mirroring the reference's fallback).
+    """
+    prefix = component + "."
+    out = {}
+    for k, v in sd.items():
+        if k.startswith(prefix):
+            out[k[len(prefix):]] = v
+        elif component == "dit" and not k.startswith(("vae.", "text_encoder")):
+            out[k] = v
+    return out
 
 
 # ================================================================== flux DiT

@@ -63,18 +63,32 @@ class SmoothedValue:
 
 
 class MetricLogger:
-    """Windowed metric aggregation + periodic printing + JSONL epoch log."""
+    """Windowed metric aggregation + periodic printing + JSONL epoch log +
+    optional TensorBoard scalars (reference uses tensorboardX/accelerator.log,
+    `trainer_misc/fsdp_trainer.py:130`)."""
 
     def __init__(self, delimiter: str = "  ", log_file: Optional[str] = None,
-                 print_fn=print):
+                 tensorboard_dir: Optional[str] = None, print_fn=print):
         self.meters: Dict[str, SmoothedValue] = defaultdict(SmoothedValue)
         self.delimiter = delimiter
         self.log_file = log_file
         self.print_fn = print_fn
+        self._tb = None
+        if tensorboard_dir:
+            try:
+                import tensorflow as tf
+                self._tb = tf.summary.create_file_writer(tensorboard_dir)
+            except Exception:
+                self._tb = None
 
-    def update(self, **kwargs):
+    def update(self, step: Optional[int] = None, **kwargs):
         for k, v in kwargs.items():
             self.meters[k].update(v)
+        if self._tb is not None and step is not None:
+            with self._tb.as_default():
+                import tensorflow as tf
+                for k, v in kwargs.items():
+                    tf.summary.scalar(k, float(v), step=step)
 
     def __getattr__(self, name):
         if name in ("meters", "delimiter", "log_file", "print_fn"):
