@@ -391,11 +391,14 @@ def flash_attention(
         return -(-x // m) * m
 
     def auto_block(l):
-        # Larger tiles amortize VMEM traffic and per-step overhead (measured
-        # ~2x faster at 512 vs 128 for multi-k-block sequences). Cap at the
-        # padded length so short sequences stay single-block; always a
-        # multiple of 128 (TPU lane tiling).
-        return min(512, round_up(max(l, 128), 128))
+        # Largest block from {512, 384, 256, 128} that divides the 128-padded
+        # length — bigger tiles amortize VMEM traffic (~2x faster at 512 vs
+        # 128 measured) and a dividing block means zero extra padding.
+        lp = round_up(max(l, 128), 128)
+        for blk in (512, 384, 256, 128):
+            if lp % blk == 0:
+                return blk
+        return 128
 
     bq = block_q if block_q is not None else auto_block(lq)
     bk = block_k if block_k is not None else auto_block(lk)

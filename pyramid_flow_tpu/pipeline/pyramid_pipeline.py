@@ -366,7 +366,8 @@ class PyramidFlowPipeline:
             # pad/slice ops entirely (measured ~12 ms/forward of pure padding)
             latent_toks = fpu * frame_tokens(i_s)
             total = 128 + toks + latent_toks
-            toks += (-total) % 256
+            block = 512 if total > 512 else 128  # matches kernel auto_block
+            toks += (-total) % block
             budgets.append(toks)
         return budgets
 
