@@ -185,6 +185,12 @@ def main():
 
                 state, metrics = step_fn(state, batch, rng,
                                          num_units_per_stage=units)
+                loss_val = float(metrics["train/loss"])
+                if not np.isfinite(loss_val):
+                    # reference hard-exits on NaN loss (fsdp_trainer:95-97)
+                    print(f"Loss is {loss_val}, stopping training",
+                          file=sys.stderr)
+                    sys.exit(1)
                 logger.update(**{k.split("/")[-1]: float(v)
                                  for k, v in metrics.items()})
                 if step % args.print_freq == 0:

@@ -115,6 +115,10 @@ def main():
             batch = next(loader)
             video = jnp.asarray(batch["video"])
             state, metrics = step_fn(state, video, rng)
+            loss_val = float(metrics["vae/total_loss"])
+            if not (loss_val == loss_val and abs(loss_val) != float("inf")):
+                print(f"Loss is {loss_val}, stopping training", file=sys.stderr)
+                sys.exit(1)
             logger.update(**{k.split("/")[-1]: float(v)
                              for k, v in metrics.items()})
             if step % args.print_freq == 0:
