@@ -122,6 +122,7 @@ def make_train_step(
     vae=None,
     vae_params=None,
     model_name: str = "pyramid_flux",
+    accum_steps: int = 1,
 ):
     """Build the jitted train step.
 
@@ -131,6 +132,11 @@ def make_train_step(
     Pass ``vae``/``vae_params`` to train from raw pixels (the reference's
     ``load_vae`` online-encode path, pipeline :574-576): ``batch["video"]``
     [B, T, H, W, 3] is encoded+normalized inside the step.
+
+    ``accum_steps > 1``: gradient accumulation inside the jitted step — the
+    batch splits into micro-batches scanned sequentially with averaged grads
+    (the reference's Accelerate grad-accum, `scripts/train_pyramid_flow.sh`
+    uses 2). Batch size must divide by accum_steps * sum(sample_ratios).
     """
     from ..models.vae.model import gaussian_sample
     from ..pipeline.noising import normalize_latent
@@ -158,14 +164,41 @@ def make_train_step(
             batch["text_mask"])
         pooled = jnp.where(drop[:, None], batch["null_pooled"], batch["pooled"])
 
-        def loss_fn(params):
+        def loss_fn(params, latents, t_emb, t_mask, pool, key):
             return dit_loss_fn(
-                dit, params, rng_noise, batch["latents"], text_emb, text_mask,
-                pooled, scheduler, sample_ratios, use_temporal_pyramid,
+                dit, params, key, latents, t_emb, t_mask,
+                pool, scheduler, sample_ratios, use_temporal_pyramid,
                 num_units_per_stage, frame_per_unit, corrupt_ratio)
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+        if accum_steps == 1:
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(
+                state.params, batch["latents"], text_emb, text_mask, pooled,
+                rng_noise)
+        else:
+            def split_mb(x):
+                return x.reshape((accum_steps, x.shape[0] // accum_steps)
+                                 + x.shape[1:])
+
+            mbs = jax.tree.map(
+                split_mb, (batch["latents"], text_emb, text_mask, pooled))
+            keys = jax.random.split(rng_noise, accum_steps)
+
+            def scan_body(carry, mb):
+                grads_acc, loss_acc = carry
+                lat, te, tm, po, key = mb
+                (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, lat, te, tm, po, key)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+                return (grads_acc, loss_acc + l), None
+
+            zero = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            (grads, loss), _ = jax.lax.scan(
+                scan_body, (zero, jnp.float32(0.0)), (*mbs, keys))
+            grads = jax.tree.map(lambda g: g / accum_steps, grads)
+            loss = loss / accum_steps
+            metrics = {"train/loss": loss}
         gnorm = optax_global_norm(grads)
         state = state.apply_gradients(grads, loss)
         metrics = dict(metrics)

