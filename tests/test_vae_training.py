@@ -18,11 +18,11 @@ from pyramid_flow_tpu.training.vae_trainer import (
 )
 
 TINY_VAE = VAEConfig(
-    latent_channels=4,
-    block_out_channels=(8, 8, 16, 16),
+    latent_channels=2,
+    block_out_channels=(4, 4, 8, 8),
     encoder_layers_per_block=(1, 1, 1, 1),
     decoder_layers_per_block=(1, 1, 1, 1),
-    num_groups=4,
+    num_groups=2,
 )
 
 
@@ -86,42 +86,39 @@ def test_discriminators():
     assert out3.shape[0] == 1 and out3.shape[-1] == 1
 
 
-@pytest.mark.parametrize("disc_started", [False, True])
-def test_vae_gan_train_step(disc_started):
+def test_vae_gan_train_step():
+    """One compiled step exercises BOTH disc-off (step 0 < disc_start=1) and
+    disc-on (step 1) paths via the in-graph gating."""
     vae = CausalVideoVAE(config=TINY_VAE)
     lpips = LPIPS()
     disc = PatchDiscriminator2D(ndf=8, n_layers=2)
 
-    video = jax.random.normal(jax.random.PRNGKey(0), (1, 5, 32, 32, 3)) * 0.5
+    video = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 32, 32, 3)) * 0.5
     vae_params = vae.init(jax.random.PRNGKey(1), video, rng=jax.random.PRNGKey(2))
     lpips_params = lpips.init(
         jax.random.PRNGKey(3), video[:, 0], video[:, 0])
     disc_params = disc.init(jax.random.PRNGKey(4), video[:, 0])
 
-    cfg = VAETrainConfig(disc_start=0 if disc_started else 10_000,
-                         learning_rate=1e-4)
+    cfg = VAETrainConfig(disc_start=1, learning_rate=1e-4)
     state = create_vae_train_state(vae_params, disc_params, cfg)
     step = make_vae_train_step(vae, lpips, lpips_params, disc, donate=False)
-    state2, metrics = step(state, video, jax.random.PRNGKey(5))
 
-    assert int(state2.step) == 1
-    assert np.isfinite(float(metrics["vae/total_loss"]))
-    assert float(metrics["vae/rec_loss"]) > 0
-    if disc_started:
-        assert float(metrics["vae/d_weight"]) > 0
-        # discriminator actually updates
-        diff = jax.tree.map(
-            lambda a, b: float(jnp.abs(a - b).max()),
-            state.disc_params, state2.disc_params)
-        assert max(jax.tree.leaves(diff)) > 0
-    else:
-        assert float(metrics["vae/d_weight"]) == 0
-        diff = jax.tree.map(
-            lambda a, b: float(jnp.abs(a - b).max()),
-            state.disc_params, state2.disc_params)
-        assert max(jax.tree.leaves(diff)) == 0
-    # generator always updates
-    gdiff = jax.tree.map(
-        lambda a, b: float(jnp.abs(a - b).max()),
-        state.gen_params["vae"], state2.gen_params["vae"])
+    # step 0: discriminator gated OFF
+    state1, m0 = step(state, video, jax.random.PRNGKey(5))
+    assert int(state1.step) == 1
+    assert np.isfinite(float(m0["vae/total_loss"]))
+    assert float(m0["vae/rec_loss"]) > 0
+    assert float(m0["vae/d_weight"]) == 0
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                        state.disc_params, state1.disc_params)
+    assert max(jax.tree.leaves(diff)) == 0
+    gdiff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         state.gen_params["vae"], state1.gen_params["vae"])
     assert max(jax.tree.leaves(gdiff)) > 0
+
+    # step 1: discriminator ON (same compiled program)
+    state2, m1 = step(state1, video, jax.random.PRNGKey(5))
+    assert float(m1["vae/d_weight"]) > 0
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                        state1.disc_params, state2.disc_params)
+    assert max(jax.tree.leaves(diff)) > 0
