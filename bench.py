@@ -105,7 +105,9 @@ def main():
     t0 = time.time()
     run()
     elapsed = time.time() - t0
-    log(f"timed run: {elapsed:.1f}s")
+    dec = getattr(pipe, "last_decode_seconds", None)
+    log(f"timed run: {elapsed:.1f}s"
+        + (f" (dit {elapsed - dec:.1f}s / vae decode {dec:.1f}s)" if dec else ""))
 
     baseline = 330.0 / 4.0  # A100 5s@768p prorated to 384p token count
     print(json.dumps({

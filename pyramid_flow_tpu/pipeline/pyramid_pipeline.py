@@ -366,8 +366,9 @@ class PyramidFlowPipeline:
             # pad/slice ops entirely (measured ~12 ms/forward of pure padding)
             latent_toks = fpu * frame_tokens(i_s)
             total = 128 + toks + latent_toks
-            block = 512 if total > 512 else 128  # matches kernel auto_block
-            toks += (-total) % block
+            # round to 256 (128 for short): the kernel's divisor-aware block
+            # choice then runs pad-free with minimal token waste
+            toks += (-total) % (256 if total > 256 else 128)
             budgets.append(toks)
         return budgets
 
@@ -471,9 +472,16 @@ class PyramidFlowPipeline:
             generated.append(intermed[-1].astype(jnp.float32))
 
         latents_full = jnp.concatenate(generated, axis=1)
+        jax.block_until_ready(latents_full)
+        import time as _time
+        t_gen_done = _time.time()
         if output_type == "latent":
             return latents_full
-        return self.decode_latent(latents_full, save_memory=save_memory)
+        out = self.decode_latent(latents_full, save_memory=save_memory)
+        jax.block_until_ready(out)
+        # host-side phase split for benchmarking/observability
+        self.last_decode_seconds = _time.time() - t_gen_done
+        return out
 
     def generate_i2v(self, rng, image_latent_raw, *args, **kwargs):
         """i2v: unit 0 is the VAE-encoded input image. ``image_latent_raw``
