@@ -40,6 +40,10 @@ __all__ = ["flash_attention", "attention_reference", "INVALID_TIME"]
 
 INVALID_TIME = 2**30  # plain int so kernels don't capture a traced constant
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+# Initial running max: masked scores (DEFAULT_MASK_VALUE) sit far below it, so
+# exp(masked - m) underflows to exactly 0 without an explicit select — one
+# fewer [bq, bk] VPU op per tile in the (VPU-bound) softmax chain.
+INIT_M_VALUE = -0.35 * float(jnp.finfo(jnp.float32).max)
 NUM_LANES = 128
 
 
@@ -62,7 +66,7 @@ def _fwd_kernel(tq_ref, tk_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     @pl.when(kv_idx == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        m_scr[...] = jnp.full_like(m_scr, INIT_M_VALUE)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
@@ -94,11 +98,11 @@ def _fwd_kernel(tq_ref, tk_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         m_curr = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
         m_next = jnp.maximum(m_prev, m_curr)  # broadcast -> [bq, 128]
         alpha = jnp.exp(m_prev - m_next)
+        # masked entries carry s = DEFAULT_MASK_VALUE << m_next (which never
+        # drops below INIT_M_VALUE), so exp underflows to exactly 0 — no
+        # explicit zeroing needed; fully-masked rows keep l = 0 and the
+        # finalize step maps their output to 0.
         p = jnp.exp(s - m_next[:, :1])
-        # Fully-masked k-tile contributes nothing (p of mask_value rows ~ 0
-        # when other tiles have real entries; if ALL tiles are masked, l
-        # stays ~0 and the final normalization maps output to 0).
-        p = jnp.where(mask, p, 0.0)
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
         m_scr[...] = m_next

@@ -26,11 +26,32 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["MeshConfig", "make_mesh", "param_sharding", "batch_spec",
+           "maybe_initialize_distributed",
            "DATA_AXES", "SP_AXIS", "FSDP_AXIS"]
 
 DATA_AXES = ("dp", "fsdp")
 FSDP_AXIS = "fsdp"
 SP_AXIS = "sp"
+
+
+def maybe_initialize_distributed():
+    """Initialize multi-host JAX when running under a pod launcher.
+
+    Replaces the reference's ``init_distributed_mode`` env:// NCCL setup
+    (`trainer_misc/utils.py:71-107`): on TPU pods ``jax.distributed``
+    auto-discovers coordinator/rank from the runtime environment. Safe no-op
+    when single-host or already initialized.
+    """
+    import jax
+    try:
+        if jax.process_count() > 1:
+            return  # already initialized by the runtime
+        if any(k in __import__("os").environ
+               for k in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                          "MEGASCALE_COORDINATOR_ADDRESS")):
+            jax.distributed.initialize()
+    except Exception:
+        pass
 
 
 @dataclasses.dataclass(frozen=True)

@@ -54,6 +54,8 @@ def parse_args():
 def main():
     args = parse_args()
     import jax
+    from pyramid_flow_tpu.parallel.mesh import maybe_initialize_distributed
+    maybe_initialize_distributed()
     import jax.numpy as jnp
     import numpy as np
     from PIL import Image
