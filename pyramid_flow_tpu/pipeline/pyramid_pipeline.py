@@ -135,6 +135,13 @@ class PyramidFlowPipeline:
         return cls(dit, comps["dit"], vae, comps.get("vae"),
                    model_name=model_name, dtype=dtype, **kwargs)
 
+    def enable_sequential_cpu_offload(self):
+        """API-parity no-op (reference :201-211). The reference offloads
+        modules to host RAM to fit consumer GPUs (<8 GB); TPU HBM (16-95 GB)
+        holds the full pipeline resident, and XLA already stages HBM<->host
+        transfers for arrays that exceed device memory."""
+        return self
+
     # ------------------------------------------------------------ helpers
     def normalize_latent(self, x):
         """pixels-encoded latent -> model space; frame 0 uses image stats
