@@ -101,11 +101,15 @@ class PyramidFlowPipeline:
 
         self._denoise_jit = jax.jit(
             self._denoise_stage_loop,
-            static_argnames=("trainable_tokens", "temp", "height", "width"),
+            static_argnames=("upsample", "trainable_tokens", "temp", "height",
+                             "width"),
             donate_argnames=("latents",),
         )
         self._pack_cond_jit = jax.jit(
             self._pack_cond, static_argnames=("budget",))
+        self._prep_cond_jit = jax.jit(
+            self._prep_cond_from_history,
+            static_argnames=("unit_index", "stage", "budget"))
 
     @classmethod
     def from_pretrained(cls, model_path: str,
@@ -185,8 +189,11 @@ class PyramidFlowPipeline:
         sigmas,             # [MAX_STEPS+1] float32 (padded)
         num_steps,          # [] int32 — actual step count (dynamic)
         guidance,           # scalar
+        ab,                 # [2] (alpha, beta) renoise coeffs (stage > 0)
+        noise_rng,          # PRNG key for the stage-transition block noise
         pos_offset,         # [2B, 2] table crop origin (mmdit) or None (flux)
         *,
+        upsample: bool,
         trainable_tokens: int,
         temp: int,
         height: int,
@@ -194,8 +201,17 @@ class PyramidFlowPipeline:
     ):
         """CFG Euler loop for one stage — a single fori_loop on device.
 
-        ``num_steps`` is a traced scalar: image-frame (20-step) and video
-        (10-step) cascades share ONE compiled program per stage."""
+        Folds the stage transition (nearest-2x upsample + correlated block
+        renoise, reference :729-743) into the same program, so each stage is
+        exactly ONE device dispatch. ``num_steps`` is a traced scalar:
+        image-frame (20-step) and video (10-step) cascades share one compiled
+        program per stage."""
+        if upsample:
+            latents = _up2_nearest(latents)
+            noise = sample_block_noise(
+                noise_rng, latents.shape, self.scheduler.gamma, latents.dtype)
+            latents = ab[0] * latents + ab[1] * noise
+
         b = latents.shape[0]
         pos2 = jnp.broadcast_to(positions, (2 * b,) + positions.shape[1:])
         time2 = jnp.broadcast_to(time_ids, (2 * b,) + time_ids.shape[1:])
@@ -227,46 +243,99 @@ class PyramidFlowPipeline:
 
         return jax.lax.fori_loop(0, n, step, latents)
 
+    def _stage_clip_shapes(self, b, h_lat, w_lat, unit_index, stage):
+        """Conditioning clip SHAPES for (unit, stage) — the shape-level mirror
+        of the reference's history construction (:1156-1182). Returns a list
+        of (B, T, H, W, C) for history clips (oldest first), [] at unit 0."""
+        if unit_index == 0:
+            return []
+        fpu = self.frame_per_unit
+        c = self.latent_channels
+
+        def dims(s):
+            return (h_lat >> (self.num_stages - 1 - s),
+                    w_lat >> (self.num_stages - 1 - s))
+
+        shapes = [(b, fpu) + dims(stage) + (c,)]  # newest unit at stage res
+        cur_unit_ptx, cur_stage = 1, stage
+        while cur_unit_ptx < unit_index:
+            cur_stage = max(cur_stage - 1, 0)
+            if cur_stage == 0:
+                break
+            cur_unit_ptx += 1
+            shapes.append((b, fpu) + dims(cur_stage) + (c,))
+        if cur_stage == 0 and cur_unit_ptx < unit_index:
+            total_hist = 1 + (unit_index - 1) * fpu
+            rem = total_hist - cur_unit_ptx * fpu
+            shapes.append((b, rem) + dims(0) + (c,))
+        return list(reversed(shapes))
+
+    def _prep_cond_from_history(self, history, *, unit_index: int, stage: int,
+                                budget: int):
+        """history [B, T_hist, H, W, C] -> conditioning tokens
+        [2B, budget, 4C]: pyramid + clip slicing + patchify + pad + CFG-double
+        as ONE compiled program per (unit, stage) shape."""
+        clean_list = latent_pyramid(history, self.num_stages)
+        fpu = self.frame_per_unit
+        stage_input = [clean_list[stage][:, -fpu:]]
+        cur_unit_ptx, cur_stage = 1, stage
+        while cur_unit_ptx < unit_index:
+            cur_stage = max(cur_stage - 1, 0)
+            if cur_stage == 0:
+                break
+            cur_unit_ptx += 1
+            stage_input.append(
+                clean_list[cur_stage][
+                    :, -(cur_unit_ptx * fpu): -((cur_unit_ptx - 1) * fpu)])
+        if cur_stage == 0 and cur_unit_ptx < unit_index:
+            stage_input.append(clean_list[0][:, : -(cur_unit_ptx * fpu)])
+        clips = list(reversed(stage_input))
+        return self._pack_cond(tuple(clips), budget=budget)
+
     def generate_one_unit(
         self,
         rng,
         latents,                  # [B, T, h0, w0, C] at LOWEST stage res
-        past_conditions,          # per stage: list of cond clips [B,T_i,H_i,W_i,C]
+        cond_tokens_per_stage,    # per stage [2B, budget, 4C] (or None: unit 0)
         prompt_embeds, prompt_mask, pooled,   # CFG-doubled (2B rows)
         num_inference_steps: Sequence[int],
         guidance: float,
-        pad_cond_to: Optional[Sequence[int]] = None,
+        unit_index: int,
+        budgets: Sequence[int],
+        h_lat: int,
+        w_lat: int,
     ):
         """The stage cascade for one temporal unit (reference :705-788).
 
-        ``pad_cond_to``: per-stage conditioning-token budget. When set, the
-        history token buffer is padded (zero tokens, INVALID time ids) to a
-        fixed length so every unit of the video reuses ONE compiled denoise
-        program per stage — the TPU answer to the reference's ragged history
-        (SURVEY.md §7.3 #1). Padded keys are masked inside the flash kernel.
+        Conditioning is padded to fixed per-stage budgets (zero tokens,
+        INVALID time ids) so every unit reuses ONE compiled denoise program
+        per stage (SURVEY.md §7.3 #1); the stage transition runs inside the
+        same program — 3 device dispatches per unit.
         """
         from ..ops.flash_attention import INVALID_TIME
 
+        b = latents.shape[0]
+        fpu = latents.shape[1]
+        c = self.latent_channels
         intermed = []
         for i_s in range(self.num_stages):
             timesteps, sigmas = self.scheduler.inference_tables(
                 num_inference_steps[i_s], i_s)
 
+            h = h_lat >> (self.num_stages - 1 - i_s)
+            w = w_lat >> (self.num_stages - 1 - i_s)
             if i_s > 0:
-                latents = _up2_nearest(latents)
                 alpha, beta = self.scheduler.transition_coefficients(i_s)
-                rng, sub = jax.random.split(rng)
-                noise = sample_block_noise(
-                    sub, latents.shape, self.scheduler.gamma, latents.dtype)
-                latents = alpha * latents + beta * noise
+            else:
+                alpha = beta = 0.0
+            rng, sub = jax.random.split(rng)
 
-            b, temp, h, w, c = latents.shape
-            shapes = [tuple(cl.shape) for cl in past_conditions[i_s]]
-            shapes.append(tuple(latents.shape))
+            # metadata from shapes only (host numpy)
+            shapes = self._stage_clip_shapes(b, h_lat, w_lat, unit_index, i_s)
+            shapes.append((b, fpu, h, w, c))
             positions, time_ids, trainable = clip_metadata(shapes)
             lc = positions.shape[0] - trainable
-
-            budget = pad_cond_to[i_s] if pad_cond_to is not None else lc
+            budget = budgets[i_s]
             assert lc <= budget, (lc, budget)
             pad = budget - lc
             if pad:
@@ -275,11 +344,9 @@ class PyramidFlowPipeline:
                 time_ids = np.concatenate(
                     [np.full((pad,), INVALID_TIME, np.int32), time_ids], axis=0)
 
-            # one jitted program packs+pads+CFG-doubles the conditioning
-            if past_conditions[i_s]:
-                cond_tokens = self._pack_cond_jit(
-                    tuple(past_conditions[i_s]), budget=budget)
-            else:
+            cond_tokens = (cond_tokens_per_stage[i_s]
+                           if cond_tokens_per_stage is not None else None)
+            if cond_tokens is None:
                 cond_tokens = jnp.zeros((2 * b, budget, 4 * c), self.dtype)
 
             if self.model_name == "pyramid_mmdit":
@@ -311,9 +378,12 @@ class PyramidFlowPipeline:
                 jnp.asarray(sig_pad),
                 jnp.int32(n),
                 jnp.float32(guidance),
+                jnp.asarray([alpha, beta], jnp.float32),
+                sub,
                 pos_offset,
+                upsample=(i_s > 0),
                 trainable_tokens=trainable,
-                temp=temp,
+                temp=fpu,
                 height=h,
                 width=w,
             )
@@ -346,35 +416,20 @@ class PyramidFlowPipeline:
         return past
 
     def _cond_token_budget(self, unit_index: int, h_lat: int, w_lat: int):
-        """Per-stage conditioning token count at history length ``unit_index``
-        (shape-level mirror of ``_build_past_conditions``)."""
+        """Per-stage conditioning-token budget at history length
+        ``unit_index`` (token count of ``_stage_clip_shapes`` + rounding)."""
         fpu = self.frame_per_unit
         budgets = []
         for i_s in range(self.num_stages):
-            def frame_tokens(stage):
-                h = h_lat >> (self.num_stages - 1 - stage)
-                w = w_lat >> (self.num_stages - 1 - stage)
-                return (h // 2) * (w // 2)
-
-            toks = fpu * frame_tokens(i_s)
-            cur_unit_ptx, cur_stage = 1, i_s
-            while cur_unit_ptx < unit_index:
-                cur_stage = max(cur_stage - 1, 0)
-                if cur_stage == 0:
-                    break
-                cur_unit_ptx += 1
-                toks += fpu * frame_tokens(cur_stage)
-            if cur_stage == 0 and cur_unit_ptx < unit_index:
-                # remainder frames: total history frames minus consumed units
-                total_hist = 1 + (unit_index - 1) * fpu
-                toks += (total_hist - cur_unit_ptx * fpu) * frame_tokens(0)
+            shapes = self._stage_clip_shapes(1, h_lat, w_lat, unit_index, i_s)
+            toks = sum(t * (h // 2) * (w // 2) for (_, t, h, w, _) in shapes)
+            h = h_lat >> (self.num_stages - 1 - i_s)
+            w = w_lat >> (self.num_stages - 1 - i_s)
+            latent_toks = fpu * (h // 2) * (w // 2)
             # round so the full sequence (text 128 + cond + current) lands on
-            # a flash-kernel block boundary — the kernel then skips its
-            # pad/slice ops entirely (measured ~12 ms/forward of pure padding)
-            latent_toks = fpu * frame_tokens(i_s)
+            # a flash-kernel block boundary: with the divisor-aware block
+            # choice the kernel then runs pad-free with minimal token waste
             total = 128 + toks + latent_toks
-            # round to 256 (128 for short): the kernel's divisor-aware block
-            # choice then runs pad-free with minimal token waste
             toks += (-total) % (256 if total > 256 else 128)
             budgets.append(toks)
         return budgets
@@ -442,9 +497,7 @@ class PyramidFlowPipeline:
         # fixed per-stage conditioning-token budgets -> one compiled denoise
         # program per stage for the whole video
         max_unit = max(unit_range) if len(unit_range) else 0
-        pad_cond_to = (
-            self._cond_token_budget(max_unit, h_lat, w_lat) if max_unit else None
-        )
+        pad_cond_to = self._cond_token_budget(max_unit, h_lat, w_lat)
 
         # per-unit linear guidance decay (reference :1075-1079,1133-1135)
         if use_linear_guidance:
@@ -458,23 +511,29 @@ class PyramidFlowPipeline:
                 # unit 0 uses the SAME padded cond budget (fully masked):
                 # with equal step counts the whole video then reuses ONE
                 # compiled denoise program per stage
-                past = [[] for _ in range(self.num_stages)]
                 intermed = self.generate_one_unit(
-                    sub, latents[:, :1], past, pe, pm, pp,
+                    sub, latents[:, :1], None, pe, pm, pp,
                     num_inference_steps, g,
-                    pad_cond_to=pad_cond_to,
+                    unit_index=0, budgets=pad_cond_to, h_lat=h_lat,
+                    w_lat=w_lat,
                 )
             else:
                 history = jnp.concatenate(generated, axis=1)
-                past = self._build_past_conditions(history, unit_index)
+                cond = [
+                    self._prep_cond_jit(
+                        history, unit_index=unit_index, stage=i_s,
+                        budget=pad_cond_to[i_s])
+                    for i_s in range(self.num_stages)
+                ]
                 if input_image_latent is None:
                     start = 1 + (unit_index - 1) * fpu
                 else:
                     start = (unit_index - 1) * fpu
                 intermed = self.generate_one_unit(
-                    sub, latents[:, start: start + fpu], past, pe, pm, pp,
+                    sub, latents[:, start: start + fpu], cond, pe, pm, pp,
                     video_num_inference_steps, vg,
-                    pad_cond_to=pad_cond_to,
+                    unit_index=unit_index, budgets=pad_cond_to, h_lat=h_lat,
+                    w_lat=w_lat,
                 )
             generated.append(intermed[-1].astype(jnp.float32))
 
