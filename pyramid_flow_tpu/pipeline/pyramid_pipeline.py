@@ -391,30 +391,6 @@ class PyramidFlowPipeline:
         return intermed
 
     # ------------------------------------------------------------ generate
-    def _build_past_conditions(self, history, unit_index):
-        """Per-stage conditioning clip lists from generated history
-        (reference :1156-1182): newest unit at stage res, older units at
-        progressively lower stages, oldest remainder at stage 0."""
-        clean_list = latent_pyramid(history, self.num_stages)
-        fpu = self.frame_per_unit
-        past = []
-        for i_s in range(self.num_stages):
-            stage_input = [clean_list[i_s][:, -fpu:]]
-            cur_unit_ptx, cur_stage = 1, i_s
-            while cur_unit_ptx < unit_index:
-                cur_stage = max(cur_stage - 1, 0)
-                if cur_stage == 0:
-                    break
-                cur_unit_ptx += 1
-                stage_input.append(
-                    clean_list[cur_stage][
-                        :, -(cur_unit_ptx * fpu): -((cur_unit_ptx - 1) * fpu)]
-                )
-            if cur_stage == 0 and cur_unit_ptx < unit_index:
-                stage_input.append(clean_list[0][:, : -(cur_unit_ptx * fpu)])
-            past.append(list(reversed(stage_input)))
-        return past
-
     def _cond_token_budget(self, unit_index: int, h_lat: int, w_lat: int):
         """Per-stage conditioning-token budget at history length
         ``unit_index`` (token count of ``_stage_clip_shapes`` + rounding)."""
