@@ -541,11 +541,16 @@ class PyramidFlowPipeline:
         z = self.denormalize_latent(latents).astype(jnp.float32)
         window = 1 if save_memory else 2
         tile = 256 if save_memory else 512
-        if z.shape[2] > tile // self.downsample or z.shape[3] > tile // self.downsample:
+        # Tile only when a whole frame would blow HBM: up to ~96x96 latent
+        # (768x768 pixels) the streaming decode fits comfortably in 16 GB —
+        # untiled avoids the 25% overlap recompute and the per-tile dispatch
+        # chain (the reference always tiles because consumer GPUs are small).
+        if z.shape[2] * z.shape[3] > 96 * 96:
             img = tiled_decode(self.vae, self.vae_params, z,
                                tile_sample_min_size=tile,
                                temporal_chunk=True, window_size=window)
         else:
-            img = chunk_decode(self.vae, self.vae_params, z, window_size=window)
+            img = chunk_decode(self.vae, self.vae_params, z,
+                               window_size=max(window, 2))
         img = jnp.clip(img * 127.5 + 127.5, 0, 255).astype(jnp.uint8)
         return img
