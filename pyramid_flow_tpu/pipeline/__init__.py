@@ -1,0 +1,2 @@
+from .pyramid_pipeline import PyramidFlowPipeline
+from .runner import PyramidFlowRunner
