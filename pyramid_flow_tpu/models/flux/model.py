@@ -37,6 +37,23 @@ from .blocks import (
 __all__ = ["FluxConfig", "PyramidFluxTransformer", "TimestepTextEmbed"]
 
 
+class _ScanDualBlock(FluxTransformerBlock):
+    """Carry-style wrapper of the dual-stream block for nn.scan."""
+
+    def __call__(self, carry, temb, cos, sin, time_ids):
+        x, ctx = carry
+        x, ctx = super().__call__(x, ctx, temb, cos, sin, time_ids)
+        return (x, ctx), None
+
+
+class _ScanSingleBlock(FluxSingleTransformerBlock):
+    """Carry-style wrapper of the single-stream block for nn.scan."""
+
+    def __call__(self, h, temb, cos, sin, time_ids):
+        h = super().__call__(h, temb, cos, sin, time_ids)
+        return h, None
+
+
 @dataclasses.dataclass(frozen=True)
 class FluxConfig:
     in_channels: int = 64          # 2x2 patch x 16 latent channels
@@ -135,17 +152,6 @@ class PyramidFluxTransformer(nn.Module):
         time_ids = jnp.concatenate(
             [text_time, latent_time.astype(jnp.int32)], axis=1)
 
-        dual = FluxTransformerBlock
-        single = FluxSingleTransformerBlock
-        if self.remat:
-            n_remat_dual = int(cfg.num_layers * cfg.gradient_checkpointing_ratio)
-            n_remat_single = int(cfg.num_single_layers * cfg.gradient_checkpointing_ratio)
-            dual_r = nn.remat(FluxTransformerBlock, static_argnums=())
-            single_r = nn.remat(FluxSingleTransformerBlock, static_argnums=())
-        else:
-            n_remat_dual = n_remat_single = -1
-            dual_r = single_r = None
-
         blk_kw = dict(
             num_heads=cfg.num_attention_heads,
             head_dim=cfg.attention_head_dim,
@@ -154,17 +160,37 @@ class PyramidFluxTransformer(nn.Module):
             **kw,
         )
 
-        for i in range(cfg.num_layers):
-            cls = dual_r if self.remat and i <= n_remat_dual else dual
-            x, ctx = cls(name=f"transformer_blocks_{i}", **blk_kw)(
-                x, ctx, temb, cos, sin, time_ids)
+        # Layers run under nn.scan: one traced block body instead of N
+        # unrolled copies. This cuts the per-program op count ~30x (per-op
+        # launch overhead measured at ~60-80us on the target backend adds up
+        # to ~half the small-stage step time when unrolled) and shrinks
+        # XLA/Mosaic compile time proportionally. Params gain a leading layer
+        # axis (see utils.converters). remat applies per scanned layer.
+        dual_cls = _ScanDualBlock
+        single_cls = _ScanSingleBlock
+        if self.remat:
+            dual_cls = nn.remat(dual_cls, prevent_cse=False)
+            single_cls = nn.remat(single_cls, prevent_cse=False)
+
+        dual_scan = nn.scan(
+            dual_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=nn.broadcast,
+            length=cfg.num_layers,
+        )(name="transformer_blocks", **blk_kw)
+        (x, ctx), _ = dual_scan((x, ctx), temb, cos, sin, time_ids)
 
         # merge text back for single-stream blocks (text-first)
         h = jnp.concatenate([ctx, x], axis=1)
-        for i in range(cfg.num_single_layers):
-            cls = single_r if self.remat and i <= n_remat_single else single
-            h = cls(name=f"single_transformer_blocks_{i}", **blk_kw)(
-                h, temb, cos, sin, time_ids)
+        single_scan = nn.scan(
+            single_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=nn.broadcast,
+            length=cfg.num_single_layers,
+        )(name="single_transformer_blocks", **blk_kw)
+        h, _ = single_scan(h, temb, cos, sin, time_ids)
 
         x = h[:, lt:]
         x = AdaLayerNormContinuous(name="norm_out", **kw)(x, temb)

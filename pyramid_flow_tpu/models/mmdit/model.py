@@ -39,6 +39,15 @@ from .blocks import JointTransformerBlock
 __all__ = ["MMDiTConfig", "PyramidDiffusionMMDiT", "sincos_pos_embed_table"]
 
 
+class _ScanJointBlock(JointTransformerBlock):
+    """Carry-style wrapper of the joint block for nn.scan."""
+
+    def __call__(self, carry, temb, cos, sin, time_ids):
+        x, ctx = carry
+        x, ctx = super().__call__(x, ctx, temb, cos, sin, time_ids)
+        return (x, ctx), None
+
+
 @dataclasses.dataclass(frozen=True)
 class MMDiTConfig:
     sample_size: int = 128
@@ -154,21 +163,31 @@ class PyramidDiffusionMMDiT(nn.Module):
         time_ids = jnp.concatenate(
             [text_time, latent_time.astype(jnp.int32)], axis=1)
 
-        blk = JointTransformerBlock
-        blk_r = nn.remat(JointTransformerBlock) if self.remat else None
-        n_remat = int(cfg.num_layers * cfg.gradient_checkpointing_ratio)
+        blk_kw = dict(
+            num_heads=cfg.num_attention_heads,
+            head_dim=cfg.attention_head_dim,
+            causal=cfg.use_temporal_causal,
+            mesh=self.mesh,
+            **kw,
+        )
+        # first N-1 uniform blocks run under nn.scan (one traced body; cuts
+        # per-program op count + compile time ~20x); the context_pre_only
+        # final block runs separately
+        scan_cls = _ScanJointBlock
+        if self.remat:
+            scan_cls = nn.remat(scan_cls, prevent_cse=False)
+        scanned = nn.scan(
+            scan_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=nn.broadcast,
+            length=cfg.num_layers - 1,
+        )(context_pre_only=False, name="transformer_blocks", **blk_kw)
+        (x, ctx), _ = scanned((x, ctx), temb, cos, sin, time_ids)
 
-        for i in range(cfg.num_layers):
-            cls = blk_r if self.remat and i <= n_remat else blk
-            x, ctx = cls(
-                num_heads=cfg.num_attention_heads,
-                head_dim=cfg.attention_head_dim,
-                causal=cfg.use_temporal_causal,
-                context_pre_only=(i == cfg.num_layers - 1),
-                mesh=self.mesh,
-                name=f"transformer_blocks_{i}",
-                **kw,
-            )(x, ctx, temb, cos, sin, time_ids)
+        x, ctx = JointTransformerBlock(
+            context_pre_only=True, name="final_block", **blk_kw,
+        )(x, ctx, temb, cos, sin, time_ids)
 
         x = AdaLayerNormContinuous(name="norm_out", **kw)(x, temb)
         return nn.Dense(cfg.token_dim, name="proj_out",

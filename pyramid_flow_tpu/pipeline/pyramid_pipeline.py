@@ -403,10 +403,9 @@ class PyramidFlowPipeline:
             w = w_lat >> (self.num_stages - 1 - i_s)
             latent_toks = fpu * (h // 2) * (w // 2)
             # round so the full sequence (text 128 + cond + current) lands on
-            # a flash-kernel block boundary: with the divisor-aware block
-            # choice the kernel then runs pad-free with minimal token waste
+            # a flash-kernel block boundary (512-tiles; measured fastest)
             total = 128 + toks + latent_toks
-            toks += (-total) % (256 if total > 256 else 128)
+            toks += (-total) % (512 if total > 512 else 128)
             budgets.append(toks)
         return budgets
 

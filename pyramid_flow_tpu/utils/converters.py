@@ -76,6 +76,13 @@ def _to_np(t):
     return arr
 
 
+def _stack_trees(trees):
+    """Stack identical-structure per-layer trees along a leading layer axis
+    (the nn.scan parameter layout)."""
+    import jax
+    return jax.tree.map(lambda *leaves: np.stack(leaves, axis=0), *trees)
+
+
 def _set(tree: dict, path: str, value: np.ndarray):
     parts = path.split("/")
     node = tree
@@ -142,38 +149,45 @@ def convert_flux_dit(sd: Dict[str, np.ndarray]) -> dict:
     _lin(sd, p, "context_embedder", "context_embedder")
     _lin(sd, p, "x_embedder", "x_embedder")
 
+    # scanned blocks: per-layer trees stacked along a leading layer axis
     n_dual = 1 + max(
         int(m.group(1)) for k in sd
         if (m := re.match(r"transformer_blocks\.(\d+)\.", k)))
+    layers = []
     for i in range(n_dual):
         t = f"transformer_blocks.{i}"
-        f = f"transformer_blocks_{i}"
-        _lin(sd, p, f"{t}.norm1.linear", f"{f}/norm1/linear")
-        _lin(sd, p, f"{t}.norm1_context.linear", f"{f}/norm1_context/linear")
+        q: dict = {}
+        _lin(sd, q, f"{t}.norm1.linear", "norm1/linear")
+        _lin(sd, q, f"{t}.norm1_context.linear", "norm1_context/linear")
         for name in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj",
                      "add_v_proj", "to_add_out"):
-            _lin(sd, p, f"{t}.attn.{name}", f"{f}/attn/{name}")
-        _lin(sd, p, f"{t}.attn.to_out.0", f"{f}/attn/to_out")
+            _lin(sd, q, f"{t}.attn.{name}", f"attn/{name}")
+        _lin(sd, q, f"{t}.attn.to_out.0", "attn/to_out")
         for name in ("norm_q", "norm_k", "norm_added_q", "norm_added_k"):
-            _set(p, f"{f}/attn/{name}/scale", sd[f"{t}.attn.{name}.weight"])
-        _lin(sd, p, f"{t}.ff.net.0.proj", f"{f}/ff/proj_in")
-        _lin(sd, p, f"{t}.ff.net.2", f"{f}/ff/proj_out")
-        _lin(sd, p, f"{t}.ff_context.net.0.proj", f"{f}/ff_context/proj_in")
-        _lin(sd, p, f"{t}.ff_context.net.2", f"{f}/ff_context/proj_out")
+            _set(q, f"attn/{name}/scale", sd[f"{t}.attn.{name}.weight"])
+        _lin(sd, q, f"{t}.ff.net.0.proj", "ff/proj_in")
+        _lin(sd, q, f"{t}.ff.net.2", "ff/proj_out")
+        _lin(sd, q, f"{t}.ff_context.net.0.proj", "ff_context/proj_in")
+        _lin(sd, q, f"{t}.ff_context.net.2", "ff_context/proj_out")
+        layers.append(q)
+    p["transformer_blocks"] = _stack_trees(layers)
 
     n_single = 1 + max(
         int(m.group(1)) for k in sd
         if (m := re.match(r"single_transformer_blocks\.(\d+)\.", k)))
+    layers = []
     for i in range(n_single):
         t = f"single_transformer_blocks.{i}"
-        f = f"single_transformer_blocks_{i}"
-        _lin(sd, p, f"{t}.norm.linear", f"{f}/norm/linear")
+        q = {}
+        _lin(sd, q, f"{t}.norm.linear", "norm/linear")
         for name in ("to_q", "to_k", "to_v"):
-            _lin(sd, p, f"{t}.attn.{name}", f"{f}/attn/{name}")
+            _lin(sd, q, f"{t}.attn.{name}", f"attn/{name}")
         for name in ("norm_q", "norm_k"):
-            _set(p, f"{f}/attn/{name}/scale", sd[f"{t}.attn.{name}.weight"])
-        _lin(sd, p, f"{t}.proj_mlp", f"{f}/proj_mlp")
-        _lin(sd, p, f"{t}.proj_out", f"{f}/proj_out")
+            _set(q, f"attn/{name}/scale", sd[f"{t}.attn.{name}.weight"])
+        _lin(sd, q, f"{t}.proj_mlp", "proj_mlp")
+        _lin(sd, q, f"{t}.proj_out", "proj_out")
+        layers.append(q)
+    p["single_transformer_blocks"] = _stack_trees(layers)
 
     _lin(sd, p, "norm_out.linear", "norm_out/linear")
     _lin(sd, p, "proj_out", "proj_out")
@@ -209,24 +223,31 @@ def convert_mmdit(sd: Dict[str, np.ndarray]) -> dict:
     n = 1 + max(
         int(m.group(1)) for k in sd
         if (m := re.match(r"transformer_blocks\.(\d+)\.", k)))
-    for i in range(n):
+
+    def _one_block(i):
         t = f"transformer_blocks.{i}"
-        f = f"transformer_blocks_{i}"
-        _lin(sd, p, f"{t}.norm1.linear", f"{f}/norm1/linear")
-        _lin(sd, p, f"{t}.norm1_context.linear", f"{f}/norm1_context/linear")
+        q: dict = {}
+        _lin(sd, q, f"{t}.norm1.linear", "norm1/linear")
+        _lin(sd, q, f"{t}.norm1_context.linear", "norm1_context/linear")
         for name in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj",
                      "add_v_proj"):
-            _lin(sd, p, f"{t}.attn.{name}", f"{f}/attn/{name}")
-        _lin(sd, p, f"{t}.attn.to_out.0", f"{f}/attn/to_out")
+            _lin(sd, q, f"{t}.attn.{name}", f"attn/{name}")
+        _lin(sd, q, f"{t}.attn.to_out.0", "attn/to_out")
         if f"{t}.attn.to_add_out.weight" in sd:
-            _lin(sd, p, f"{t}.attn.to_add_out", f"{f}/attn/to_add_out")
+            _lin(sd, q, f"{t}.attn.to_add_out", "attn/to_add_out")
         for name in ("norm_q", "norm_k", "norm_add_q", "norm_add_k"):
-            _set(p, f"{f}/attn/{name}/scale", sd[f"{t}.attn.{name}.weight"])
-        _lin(sd, p, f"{t}.ff.net.0.proj", f"{f}/ff/proj_in")
-        _lin(sd, p, f"{t}.ff.net.2", f"{f}/ff/proj_out")
+            _set(q, f"attn/{name}/scale", sd[f"{t}.attn.{name}.weight"])
+        _lin(sd, q, f"{t}.ff.net.0.proj", "ff/proj_in")
+        _lin(sd, q, f"{t}.ff.net.2", "ff/proj_out")
         if f"{t}.ff_context.net.0.proj.weight" in sd:
-            _lin(sd, p, f"{t}.ff_context.net.0.proj", f"{f}/ff_context/proj_in")
-            _lin(sd, p, f"{t}.ff_context.net.2", f"{f}/ff_context/proj_out")
+            _lin(sd, q, f"{t}.ff_context.net.0.proj", "ff_context/proj_in")
+            _lin(sd, q, f"{t}.ff_context.net.2", "ff_context/proj_out")
+        return q
+
+    # first n-1 uniform blocks stacked for nn.scan; context_pre_only last
+    # block separate
+    p["transformer_blocks"] = _stack_trees([_one_block(i) for i in range(n - 1)])
+    p["final_block"] = _one_block(n - 1)
 
     _lin(sd, p, "norm_out.linear", "norm_out/linear")
     _lin(sd, p, "proj_out", "proj_out")

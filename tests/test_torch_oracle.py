@@ -234,7 +234,8 @@ def test_dual_stream_block_matches_torch_oracle():
         "proj_out.bias": torch.zeros(8),
     }
     sd_np = {k: v.detach().float().numpy() for k, v in sd.items()}
-    tree = convert_flux_dit(sd_np)["params"]["transformer_blocks_0"]
+    stacked = convert_flux_dit(sd_np)["params"]["transformer_blocks"]
+    tree = jax.tree.map(lambda x: x[0], stacked)  # layer 0 of the scan stack
 
     rng = np.random.default_rng(1)
     x = rng.standard_normal((B, Lx, dim)).astype(np.float32)
