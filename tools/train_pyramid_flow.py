@@ -62,6 +62,8 @@ def parse_args():
     p.add_argument("--auto_resume", action="store_true", default=True)
     p.add_argument("--print_freq", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--debug_tiny", action="store_true",
+                   help="tiny model config (CI/smoke testing)")
     return p.parse_args()
 
 
@@ -97,13 +99,26 @@ def main():
     print(f"mesh: {dict(mesh.shape)}", file=sys.stderr)
 
     dtype = jnp.bfloat16
+    if args.debug_tiny:
+        flux_cfg = FluxConfig(
+            in_channels=64, num_layers=2, num_single_layers=2,
+            attention_head_dim=16, num_attention_heads=8,
+            joint_attention_dim=64, pooled_projection_dim=32,
+            axes_dims_rope=(8, 4, 4))
+        mmdit_cfg = MMDiTConfig(
+            in_channels=16, num_layers=2, attention_head_dim=16,
+            num_attention_heads=8, caption_projection_dim=128,
+            pooled_projection_dim=32, joint_attention_dim=64)
+        dtype = jnp.float32
+    else:
+        flux_cfg, mmdit_cfg = FluxConfig(), MMDiTConfig()
     if args.model_name == "pyramid_flux":
         dit = PyramidFluxTransformer(
-            config=FluxConfig(), dtype=dtype, mesh=mesh,
+            config=flux_cfg, dtype=dtype, mesh=mesh,
             remat=args.gradient_checkpointing)
     else:
         dit = PyramidDiffusionMMDiT(
-            config=MMDiTConfig(), dtype=dtype, mesh=mesh,
+            config=mmdit_cfg, dtype=dtype, mesh=mesh,
             remat=args.gradient_checkpointing)
     sched = PyramidFlowMatchEulerDiscreteScheduler()
 
@@ -115,11 +130,14 @@ def main():
         params = comps["dit"]
     else:
         b = args.batch_size
+        cfg = dit.config
         params = dit.init(
             jax.random.PRNGKey(args.seed),
-            jnp.zeros((b, 64, 64)), jnp.zeros((b, 64, 3)),
-            jnp.zeros((b, 64), jnp.int32), jnp.zeros((b, 128, 4096)),
-            jnp.ones((b, 128), bool), jnp.zeros((b, 768)), jnp.zeros((b,)))
+            jnp.zeros((b, 64, cfg.in_channels)), jnp.zeros((b, 64, 3)),
+            jnp.zeros((b, 64), jnp.int32),
+            jnp.zeros((b, 128, cfg.joint_attention_dim)),
+            jnp.ones((b, 128), bool),
+            jnp.zeros((b, cfg.pooled_projection_dim)), jnp.zeros((b,)))
 
     with jax.set_mesh(mesh):
         params = jax.device_put(params, param_sharding(mesh, params))
@@ -156,14 +174,17 @@ def main():
                 batch_np = next(loader)
                 b = batch_np["latents"].shape[0]
                 lt = batch_np["text_emb"].shape[1] if "text_emb" in batch_np else 128
+                cfg = dit.config
                 batch = {
                     "latents": batch_np["latents"],
                     "text_emb": batch_np.get(
-                        "text_emb", np.zeros((b, lt, 4096), np.float32)),
+                        "text_emb",
+                        np.zeros((b, lt, cfg.joint_attention_dim), np.float32)),
                     "text_mask": batch_np.get(
                         "text_mask", np.ones((b, lt), bool)),
                     "pooled": batch_np.get(
-                        "pooled", np.zeros((b, 768), np.float32)),
+                        "pooled",
+                        np.zeros((b, cfg.pooled_projection_dim), np.float32)),
                 }
                 if null is not None:
                     batch["null_text_emb"] = np.broadcast_to(
