@@ -91,7 +91,10 @@ def create_train_state(params, config: TrainConfig = TrainConfig()) -> TrainStat
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
-        ema_params=jax.tree.map(lambda p: p.astype(jnp.float32), params),
+        # jnp.array(copy=True): astype is a no-op for fp32 params, and an
+        # aliased ema would make donated train steps donate a buffer twice
+        ema_params=jax.tree.map(
+            lambda p: jnp.array(p, dtype=jnp.float32, copy=True), params),
         tx=tx,
         config=config,
     )

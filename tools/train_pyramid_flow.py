@@ -30,7 +30,8 @@ def parse_args():
     p.add_argument("--load_vae", action="store_true",
                    help="train from raw pixels (otherwise pre-extracted latents)")
     # data
-    p.add_argument("--anno_file", required=True)
+    p.add_argument("--anno_file", default=None,
+                   help="required unless --debug_tiny (synthetic batches)")
     p.add_argument("--null_text_fea", default=None,
                    help="null_text.npz from extract_text_features.py")
     p.add_argument("--batch_size", type=int, default=4)
@@ -156,10 +157,32 @@ def main():
             dit, sched, tuple(args.sample_ratios), args.use_temporal_pyramid,
             args.frame_per_unit, args.corrupt_ratio)
 
-        ds = LengthGroupedVideoTextDataset(args.anno_file, args.max_frames)
-        loader = create_length_grouped_video_text_dataloader(
-            ds, args.batch_size, rank=jax.process_index(),
-            world=jax.process_count(), sync_group=args.video_sync_group)
+        if args.anno_file:
+            ds = LengthGroupedVideoTextDataset(args.anno_file, args.max_frames)
+            loader = create_length_grouped_video_text_dataloader(
+                ds, args.batch_size, rank=jax.process_index(),
+                world=jax.process_count(), sync_group=args.video_sync_group)
+        elif args.debug_tiny:
+            def _synthetic_loader():
+                gen = np.random.default_rng(args.seed)
+                cfg0 = dit.config
+                c = cfg0.in_channels // 4  # latent channels (patch 2)
+                t = 1 + args.frame_per_unit * 2
+                while True:
+                    yield {
+                        "latents": gen.standard_normal(
+                            (args.batch_size, t, 16, 16, c)).astype(np.float32),
+                        "text_emb": gen.standard_normal(
+                            (args.batch_size, 8, cfg0.joint_attention_dim)
+                        ).astype(np.float32),
+                        "text_mask": np.ones((args.batch_size, 8), bool),
+                        "pooled": gen.standard_normal(
+                            (args.batch_size, cfg0.pooled_projection_dim)
+                        ).astype(np.float32),
+                    }
+            loader = _synthetic_loader()
+        else:
+            sys.exit("--anno_file is required unless --debug_tiny")
 
         null = (np.load(args.null_text_fea) if args.null_text_fea else None)
         logger = MetricLogger(
