@@ -24,7 +24,8 @@ import numpy as np
 
 from pyramid_flow_tpu.models.flux.model import FluxConfig, PyramidFluxTransformer
 from pyramid_flow_tpu.models.vae.model import (
-    CausalVideoVAE, VAEConfig, chunk_decode, chunk_encode, gaussian_mode)
+    CausalVideoVAE, VAEConfig, chunk_decode, chunk_encode, gaussian_mode,
+    reconstruct)
 from pyramid_flow_tpu.pipeline.pyramid_pipeline import PyramidFlowPipeline
 
 DIT_CFG = FluxConfig(
@@ -75,6 +76,8 @@ def main():
     moments = chunk_encode(vae, vae_params, clip, window_size=8)
     recon = chunk_decode(vae, vae_params, gaussian_mode(moments), window_size=2)
     print(f"vae roundtrip: {clip.shape} -> latent {moments.shape[:-1] + (moments.shape[-1]//2,)} -> {recon.shape}")
+    recon2 = reconstruct(vae, vae_params, clip, window_size=8)
+    assert recon2.shape == recon.shape
 
 
 if __name__ == "__main__":

@@ -376,3 +376,27 @@ def tiled_decode(model, variables, z, tile_sample_min_size=256,
         return _jitted_plain(model, "decode")(variables, tile)
 
     return _tiled_apply(z, tile_latent, tile_sample_min_size, overlap_factor, dec)
+
+
+def reconstruct(model, variables, x, *, rng=None, window_size: int = 16,
+                tiled: bool = False, tile_sample_min_size: int = 256):
+    """Encode → (sample|mode) → decode roundtrip.
+
+    The user-facing equivalent of the reference's
+    ``CausalVideoVAELossWrapper.reconstruct``
+    (`causal_video_vae_wrapper.py:193-223`): the decode window is the encode
+    window divided by the temporal downsample (8).
+
+    x: pixels [B, T, H, W, 3] in [-1, 1]; returns same shape/range.
+    """
+    dec_window = max(window_size // 8, 1)
+    if tiled:
+        moments = tiled_encode(model, variables, x, tile_sample_min_size,
+                               temporal_chunk=True, window_size=window_size)
+    else:
+        moments = chunk_encode(model, variables, x, window_size)
+    z = gaussian_mode(moments) if rng is None else gaussian_sample(moments, rng)
+    if tiled:
+        return tiled_decode(model, variables, z, tile_sample_min_size,
+                            temporal_chunk=True, window_size=dec_window)
+    return chunk_decode(model, variables, z, dec_window)

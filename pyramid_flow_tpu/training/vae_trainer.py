@@ -35,7 +35,30 @@ from ..models.vae.model import (
 )
 
 __all__ = ["VAETrainConfig", "VAETrainState", "create_vae_train_state",
-           "make_vae_train_step"]
+           "make_vae_train_step", "AdaptiveLossWeight"]
+
+
+class AdaptiveLossWeight:
+    """Timestep-bucketed loss reweighter (reference `modeling_loss.py:10-22`;
+    defined-but-unused there, kept for parity). Maintains an EMA of per-bucket
+    loss magnitudes and weights each sample by the clipped inverse."""
+
+    def __init__(self, timestep_range=(0.0, 1.0), buckets: int = 30,
+                 weight_range=(1e-7, 1e7), decay: float = 0.99):
+        self.bucket_ranges = jnp.linspace(
+            timestep_range[0], timestep_range[1], buckets - 1)
+        self.bucket_losses = jnp.ones((buckets,), jnp.float32)
+        self.weight_range = weight_range
+        self.decay = decay
+
+    def weight(self, timestep):
+        idx = jnp.searchsorted(self.bucket_ranges, timestep)
+        return jnp.clip(1.0 / self.bucket_losses[idx], *self.weight_range)
+
+    def update(self, timestep, loss):
+        idx = jnp.searchsorted(self.bucket_ranges, timestep)
+        self.bucket_losses = self.bucket_losses.at[idx].set(
+            self.decay * self.bucket_losses[idx] + (1 - self.decay) * loss)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -121,3 +121,15 @@ def test_training_forward(vae_and_params):
     moments, dec = model.apply(variables, x, rng=jax.random.PRNGKey(10))
     assert moments.shape == (1, 2, 2, 2, 8)
     assert dec.shape == (1, 9, 16, 16, 3)
+
+
+def test_reconstruct_facade(vae_and_params):
+    from pyramid_flow_tpu.models.vae.model import reconstruct
+    model, variables = vae_and_params
+    x = jax.random.normal(jax.random.PRNGKey(11), (1, 17, 32, 32, 3)) * 0.3
+    out = reconstruct(model, variables, x, window_size=8)
+    assert out.shape == x.shape
+    # decode window = encode window / 8 -> equals explicit chunked path
+    moments = chunk_encode(model, variables, x, window_size=8)
+    ref = chunk_decode(model, variables, gaussian_mode(moments), window_size=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
