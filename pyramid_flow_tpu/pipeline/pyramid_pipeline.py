@@ -549,7 +549,10 @@ class PyramidFlowPipeline:
                                tile_sample_min_size=tile,
                                temporal_chunk=True, window_size=window)
         else:
+            # window 1 under save_memory (reference :1232-1236): halves the
+            # per-window activation peak, which must coexist with the
+            # resident DiT params on one chip
             img = chunk_decode(self.vae, self.vae_params, z,
-                               window_size=max(window, 2))
+                               window_size=window)
         img = jnp.clip(img * 127.5 + 127.5, 0, 255).astype(jnp.uint8)
         return img
