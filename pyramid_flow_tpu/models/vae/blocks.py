@@ -2,9 +2,10 @@
 
 TPU-native re-design of `video_vae/modeling_resnet.py` and
 `video_vae/modeling_block.py`: channels-last, pure functional streaming via
-the ``cache`` collection, per-frame group norm. Only the causal 3D variants
-used by the released checkpoints are implemented (the unused non-causal 2D
-twins are intentionally dropped, SURVEY.md §7.4).
+the ``cache`` collection, per-frame group norm. The released checkpoints use
+only the causal 3D variants; the reference's non-causal 2D twins
+(`modeling_resnet.py:153-534`, `modeling_block.py:200-688`) are provided as
+per-frame modules selectable through the block-type registry.
 """
 
 from __future__ import annotations
@@ -25,6 +26,13 @@ __all__ = [
     "DownEncoderBlock",
     "UpDecoderBlock",
     "MidBlock",
+    "ResnetBlock2D",
+    "DownEncoderBlock2D",
+    "UpDecoderBlock2D",
+    "MidBlock2D",
+    "DOWN_BLOCKS",
+    "UP_BLOCKS",
+    "MID_BLOCKS",
 ]
 
 
@@ -200,6 +208,132 @@ class UpDecoderBlock(nn.Module):
         return x
 
 
+class ResnetBlock2D(nn.Module):
+    """Non-causal per-frame resnet (symmetric padding), the 2D twin of
+    ``ResnetBlock3D``. Reference ``ResnetBlock2D`` `modeling_resnet.py:153-288`
+    — selectable via block-type strings, unused by the released configs."""
+
+    out_channels: Optional[int] = None
+    num_groups: int = 32
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, is_init=True, temporal_chunk=False):
+        del is_init, temporal_chunk  # 2D blocks have no temporal state
+        out_ch = self.out_channels or x.shape[-1]
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        b, t = x.shape[:2]
+
+        def conv2d(name, ch, ksize, v):
+            y = v.reshape((b * t,) + v.shape[2:])
+            y = nn.Conv(ch, ksize, padding="SAME", name=name, **kw)(y)
+            return y.reshape((b, t) + y.shape[1:])
+
+        y = GroupNorm(num_groups=self.num_groups, eps=self.eps,
+                      param_dtype=self.param_dtype, name="norm1")(x)
+        y = nn.silu(y)
+        y = conv2d("conv1", out_ch, (3, 3), y)
+        y = GroupNorm(num_groups=self.num_groups, eps=self.eps,
+                      param_dtype=self.param_dtype, name="norm2")(y)
+        y = nn.silu(y)
+        y = conv2d("conv2", out_ch, (3, 3), y)
+        if x.shape[-1] != out_ch:
+            x = conv2d("conv_shortcut", out_ch, (1, 1), x)
+        return x + y
+
+
+class DownEncoderBlock2D(nn.Module):
+    """Per-frame 2D encoder block (reference ``DownEncoderBlock2D``
+    `modeling_block.py:543-616`): N resnets + strided-conv downsample."""
+
+    out_channels: int
+    num_layers: int = 2
+    add_spatial_downsample: bool = True
+    add_temporal_downsample: bool = False
+    num_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, is_init=True, temporal_chunk=False):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        for i in range(self.num_layers):
+            x = ResnetBlock2D(
+                out_channels=self.out_channels, num_groups=self.num_groups,
+                name=f"resnets_{i}", **kw)(x)
+        if self.add_spatial_downsample:
+            b, t = x.shape[:2]
+            y = x.reshape((b * t,) + x.shape[2:])
+            y = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                        padding=((0, 1), (0, 1)), name="downsampler", **kw)(y)
+            x = y.reshape((b, t) + y.shape[1:])
+        if self.add_temporal_downsample:
+            # non-causal temporal down (reference TemporalDownsample2x:398):
+            # symmetric time padding, stride 2
+            x = nn.Conv(self.out_channels, (3, 3, 3), strides=(2, 1, 1),
+                        padding=((0, 1), (1, 1), (1, 1)),
+                        name="temporal_downsampler", **kw)(x)
+        return x
+
+
+class UpDecoderBlock2D(nn.Module):
+    """Per-frame 2D decoder block (reference ``UpDecoderBlock2D``
+    `modeling_block.py:619-688`): N resnets + nearest-2x + conv upsample."""
+
+    out_channels: int
+    num_layers: int = 3
+    add_spatial_upsample: bool = True
+    add_temporal_upsample: bool = False
+    num_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, is_init=True, temporal_chunk=False):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        for i in range(self.num_layers):
+            x = ResnetBlock2D(
+                out_channels=self.out_channels, num_groups=self.num_groups,
+                name=f"resnets_{i}", **kw)(x)
+        if self.add_spatial_upsample:
+            b, t, h, w, c = x.shape
+            y = x.reshape(b * t, h, w, c)
+            y = jnp.repeat(jnp.repeat(y, 2, axis=1), 2, axis=2)
+            y = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                        name="upsampler", **kw)(y)
+            x = y.reshape((b, t) + y.shape[1:])
+        if self.add_temporal_upsample:
+            x = jnp.repeat(x, 2, axis=1)
+            x = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME",
+                        name="temporal_upsampler", **kw)(x)
+        return x
+
+
+class MidBlock2D(nn.Module):
+    """Per-frame 2D mid block (reference ``UNetMidBlock2D``
+    `modeling_block.py:200-330`)."""
+
+    num_layers: int = 1
+    add_attention: bool = True
+    num_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, is_init=True, temporal_chunk=False):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = ResnetBlock2D(num_groups=self.num_groups, name="resnets_0", **kw)(x)
+        for i in range(self.num_layers):
+            if self.add_attention:
+                x = SpatialAttention(
+                    num_groups=self.num_groups, name=f"attentions_{i}", **kw)(x)
+            x = ResnetBlock2D(num_groups=self.num_groups,
+                              name=f"resnets_{i+1}", **kw)(x)
+        return x
+
+
 class MidBlock(nn.Module):
     """resnet -> [spatial attention -> resnet]. Ref :333-464."""
 
@@ -222,3 +356,20 @@ class MidBlock(nn.Module):
             x = ResnetBlock3D(num_groups=self.num_groups, name=f"resnets_{i+1}", **kw)(
                 x, is_init=is_init, temporal_chunk=temporal_chunk)
         return x
+
+
+# Block-type registry (reference selects via config strings,
+# `modeling_enc_dec.py:75-78,220-224`); the causal 3D names are the
+# released-checkpoint defaults.
+DOWN_BLOCKS = {
+    "DownEncoderBlockCausal3D": DownEncoderBlock,
+    "DownEncoderBlock2D": DownEncoderBlock2D,
+}
+UP_BLOCKS = {
+    "UpDecoderBlockCausal3D": UpDecoderBlock,
+    "UpDecoderBlock2D": UpDecoderBlock2D,
+}
+MID_BLOCKS = {
+    "CausalUNetMidBlock2D": MidBlock,
+    "UNetMidBlock2D": MidBlock2D,
+}

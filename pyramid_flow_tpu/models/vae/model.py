@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .blocks import DownEncoderBlock, MidBlock, UpDecoderBlock
+from .blocks import DOWN_BLOCKS, MID_BLOCKS, UP_BLOCKS
 from .layers import CausalConv3d, GroupNorm
 
 __all__ = [
@@ -57,6 +57,11 @@ class VAEConfig:
     temporal_down_sample: Tuple[bool, ...] = (True, True, True, False)
     num_groups: int = 32
     downsample_scale: int = 8  # 8x spatial, 8x temporal (+1 frame)
+    # block-type strings (reference `modeling_enc_dec.py:75-78,220-224`);
+    # non-default entries select the per-frame non-causal 2D twins
+    down_block_types: Tuple[str, ...] = ("DownEncoderBlockCausal3D",) * 4
+    up_block_types: Tuple[str, ...] = ("UpDecoderBlockCausal3D",) * 4
+    mid_block_type: str = "CausalUNetMidBlock2D"
 
 
 class Encoder(nn.Module):
@@ -77,7 +82,8 @@ class Encoder(nn.Module):
 
         x = CausalConv3d(cfg.block_out_channels[0], (3, 3, 3), name="conv_in", **kw)(x, **ck)
         for i, ch in enumerate(cfg.block_out_channels):
-            x = DownEncoderBlock(
+            block_cls = DOWN_BLOCKS[cfg.down_block_types[i]]
+            x = block_cls(
                 out_channels=ch,
                 num_layers=cfg.encoder_layers_per_block[i],
                 add_spatial_downsample=cfg.spatial_down_sample[i],
@@ -86,7 +92,8 @@ class Encoder(nn.Module):
                 name=f"down_blocks_{i}",
                 **kw,
             )(x, **ck)
-        x = MidBlock(num_groups=cfg.num_groups, name="mid_block", **kw)(x, **ck)
+        x = MID_BLOCKS[cfg.mid_block_type](
+            num_groups=cfg.num_groups, name="mid_block", **kw)(x, **ck)
         x = GroupNorm(num_groups=cfg.num_groups, param_dtype=self.param_dtype,
                       name="conv_norm_out")(x)
         x = nn.silu(x)
@@ -117,9 +124,11 @@ class Decoder(nn.Module):
         temporal_up = (True, True, True, False)
 
         z = CausalConv3d(rev[0], (3, 3, 3), name="conv_in", **kw)(z, **ck)
-        z = MidBlock(num_groups=cfg.num_groups, name="mid_block", **kw)(z, **ck)
+        z = MID_BLOCKS[cfg.mid_block_type](
+            num_groups=cfg.num_groups, name="mid_block", **kw)(z, **ck)
         for i, ch in enumerate(rev):
-            z = UpDecoderBlock(
+            block_cls = UP_BLOCKS[cfg.up_block_types[i]]
+            z = block_cls(
                 out_channels=ch,
                 num_layers=cfg.decoder_layers_per_block[i],
                 add_spatial_upsample=spatial_up[i],

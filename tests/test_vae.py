@@ -133,3 +133,22 @@ def test_reconstruct_facade(vae_and_params):
     moments = chunk_encode(model, variables, x, window_size=8)
     ref = chunk_decode(model, variables, gaussian_mode(moments), window_size=1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_2d_block_variants():
+    """Non-causal 2D twin blocks selected via config block-type strings."""
+    cfg2d = VAEConfig(
+        latent_channels=4, block_out_channels=(8, 8, 16, 16),
+        encoder_layers_per_block=(1, 1, 1, 1),
+        decoder_layers_per_block=(1, 1, 1, 1), num_groups=4,
+        down_block_types=("DownEncoderBlock2D",) * 4,
+        up_block_types=("UpDecoderBlock2D",) * 4,
+        mid_block_type="UNetMidBlock2D",
+        temporal_down_sample=(False,) * 4)
+    model = CausalVideoVAE(config=cfg2d)
+    x = jnp.zeros((1, 2, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, rng=jax.random.PRNGKey(1))
+    moments = model.apply(variables, x, method=model.encode)
+    assert moments.shape == (1, 2, 4, 4, 8)  # spatial 8x, no temporal down
+    dec = model.apply(variables, gaussian_mode(moments), method=model.decode)
+    assert dec.shape[2:] == (32, 32, 3)
