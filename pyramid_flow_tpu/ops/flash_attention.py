@@ -90,6 +90,9 @@ def _fwd_kernel(tq_ref, tk_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         )
         s *= sm_scale
 
+        # (measured: a lax.cond fast path that skips mask construction on
+        # fully-visible tiles is a net LOSS on TPU — the branch defeats
+        # Mosaic's software pipelining; the unconditional select is cheaper)
         mask = _mask_tile(tq, tk, causal)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
@@ -395,16 +398,15 @@ def flash_attention(
         return -(-x // m) * m
 
     def auto_block_k(l):
-        # 512 k-tiles win decisively (measured 8.0/11.2/14.7/32.3 ms at
-        # L=3584 for 512/384/256/128 — per-grid-cell overhead ~0.85us
-        # dominates small tiles), even when they force padding.
-        return min(512, round_up(max(l, 128), 128))
+        # big k-tiles win: per-grid-cell overhead dominates small tiles.
+        # Scan-based sweep on v5e (b=2, h=24, d=64): at L=3584
+        # (bq, bk) = (512, 1024) -> 3.25 ms vs (512, 512) 4.34 ms and
+        # (1024, 1024) 3.65 ms; at L=1536, (512, 1024) 1.26 ms is also best.
+        return min(1024, round_up(max(l, 128), 128))
 
     def auto_block_q(l):
-        # one whole q-block up to 2048 shaves another ~5-8% (fewer cells);
-        # beyond that fall back to 512
         lp = round_up(max(l, 128), 128)
-        return lp if lp <= 2048 else 512
+        return min(512, lp)
 
     import os
     env_blk = os.environ.get("PF_FLASH_BLOCK")
