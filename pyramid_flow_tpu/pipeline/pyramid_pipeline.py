@@ -469,23 +469,22 @@ class PyramidFlowPipeline:
             num_units = 1 + (temp - 1) // fpu
             unit_range = range(num_units)
 
-        # fixed per-stage conditioning-token budgets -> one compiled denoise
-        # program per stage for the whole video
-        max_unit = max(unit_range) if len(unit_range) else 0
-        pad_cond_to = self._cond_token_budget(max_unit, h_lat, w_lat)
-
+        # per-UNIT conditioning-token budgets: early units have short
+        # histories and run at a fraction of the final unit's sequence
+        # length; the 512-boundary rounding in ``_cond_token_budget``
+        # clusters the budgets so compiled denoise programs are still shared
+        # across runs of nearby units (a handful of shapes per stage, all
+        # warm after the first video at a given resolution).
         # per-unit linear guidance decay (reference :1075-1079,1133-1135)
         if use_linear_guidance:
             g_list = [max(guidance_scale - alpha * t_, min_guidance_scale)
                       for t_ in range(temp)]
         for unit_index in unit_range:
+            pad_cond_to = self._cond_token_budget(unit_index, h_lat, w_lat)
             g = g_list[unit_index] if use_linear_guidance else guidance_scale
             vg = g_list[unit_index] if use_linear_guidance else video_guidance_scale
             rng, sub = jax.random.split(rng)
             if unit_index == 0:
-                # unit 0 uses the SAME padded cond budget (fully masked):
-                # with equal step counts the whole video then reuses ONE
-                # compiled denoise program per stage
                 intermed = self.generate_one_unit(
                     sub, latents[:, :1], None, pe, pm, pp,
                     num_inference_steps, g,
