@@ -83,12 +83,13 @@ def _fwd_kernel(tq_ref, tk_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     @pl.when(should_run)
     def _compute():
-        q = q_ref[0, 0]  # [bq, d]
+        # scale q ([bq, d]) instead of s ([bq, bk]): one fewer full-tile VPU
+        # pass. For the usual d = 64, sm_scale = 2^-3 — exact in bf16.
+        q = q_ref[0, 0] * jnp.asarray(sm_scale, q_ref.dtype)  # [bq, d]
         k = k_ref[0, 0]  # [bk, d]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s *= sm_scale
 
         # (measured: a lax.cond fast path that skips mask construction on
         # fully-visible tiles is a net LOSS on TPU — the branch defeats
