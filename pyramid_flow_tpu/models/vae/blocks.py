@@ -138,6 +138,10 @@ class TemporalUpsample2x(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, is_init=True, temporal_chunk=False):
+        import jax
+
+        from ...parallel.cp import current_cp_axis
+
         y = CausalConv3d(
             self.out_channels * 2, (3, 3, 3), name="conv",
             dtype=self.dtype, param_dtype=self.param_dtype,
@@ -147,7 +151,20 @@ class TemporalUpsample2x(nn.Module):
         y = y.reshape(b, t, h, w, c, 2)
         y = y.transpose(0, 1, 5, 2, 3, 4)  # b t p h w c
         y = y.reshape(b, t * 2, h, w, c)
-        if is_init:
+        cp_axis = current_cp_axis()
+        if cp_axis is not None:
+            # context-parallel: the duplicated leading frame must be dropped
+            # GLOBALLY (keeping it would poison every later frame through the
+            # causal convs). Shift the whole sharded sequence left by one:
+            # each device drops its local first frame and appends the next
+            # device's first frame (reverse ppermute; the last device appends
+            # zeros — a junk frame at the global end that causal convs never
+            # look at; callers trim the tail).
+            n = jax.lax.axis_size(cp_axis)
+            nxt = jax.lax.ppermute(
+                y[:, :1], cp_axis, [(i, i - 1) for i in range(1, n)])
+            y = jnp.concatenate([y[:, 1:], nxt], axis=1)
+        elif is_init:
             y = y[:, 1:]
         return y
 

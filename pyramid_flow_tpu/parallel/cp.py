@@ -35,7 +35,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-__all__ = ["cp_context", "current_cp_axis", "halo_exchange", "cp_vae_apply"]
+__all__ = ["cp_context", "current_cp_axis", "halo_exchange", "cp_vae_apply",
+           "cp_vae_decode"]
 
 _STATE = threading.local()
 
@@ -95,3 +96,51 @@ def cp_vae_apply(method_fn, mesh: Mesh, x: jnp.ndarray,
     )
     # jit so closure params become proper committed constants on the mesh
     return jax.jit(shmap)(x)
+
+
+def cp_vae_decode(vae, variables, z: jnp.ndarray, mesh: Mesh,
+                  axis_name: str = "cp"):
+    """Context-parallel VAE decode with uniform SPMD shards.
+
+    The reference decodes under CP with rank 0 holding one extra frame and
+    ``is_init_image=True`` while other ranks use ``False``
+    (`modeling_causal_vae.py:540-586`, `context_parallel_ops.py:14-73`) —
+    uneven shapes that SPMD cannot trace as one program. Equivalent uniform
+    formulation used here:
+
+    * every device decodes ``T'/cp`` latent frames with ``is_init=False``;
+      per-conv halo exchange supplies temporal context, and device 0's halo
+      is zeros — exactly the front zero-padding an ``is_init`` conv applies,
+      so all conv arithmetic matches the reference;
+    * each temporal upsampler drops the duplicated leading frame GLOBALLY by
+      shifting the sharded sequence left one frame (reverse ppermute inside
+      ``TemporalUpsample2x``) — keeping it locally would poison every later
+      frame through the causal convs. The last device accumulates
+      ``temporal_scale - 1`` junk frames at the global tail (causal convs
+      never look at them); they are trimmed after the gather.
+
+    The result is bit-exact with monolithic decode and has the monolithic
+    shape ``[B, 1 + 8*(T'-1), H*8, W*8, 3]``.
+
+    z: latent [B, T', H, W, C] with T' divisible by the cp axis size and
+    T'/cp >= 2 (conv halo).
+    """
+    n = mesh.shape[axis_name]
+    assert z.shape[1] % n == 0, (z.shape, n)
+    assert z.shape[1] // n >= 2, "need >= 2 latent frames per cp shard"
+
+    def inner(z_shard):
+        with cp_context(axis_name):
+            return vae.apply(variables, z_shard, method=vae.decode,
+                             is_init=False)
+
+    shmap = jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=P(None, axis_name),
+        out_specs=P(None, axis_name),
+        check_vma=False,
+    )
+    out = jax.jit(shmap)(z)
+    drop = vae.config.downsample_scale - 1  # junk frames at the global tail
+    return out[:, : out.shape[1] - drop]

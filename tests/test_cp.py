@@ -74,3 +74,27 @@ def test_cp_context_is_scoped():
             assert current_cp_axis() == "other"
         assert current_cp_axis() == "cp"
     assert current_cp_axis() is None
+
+
+def test_cp_decode_matches_monolithic_tail():
+    """CP decode must match monolithic decode exactly (the upsample
+    frame-drop is globalized via a reverse ppermute shift)."""
+    from pyramid_flow_tpu.parallel.cp import cp_vae_decode
+
+    devices = np.asarray(jax.devices()[:2]).reshape(2)
+    mesh = jax.sharding.Mesh(devices, ("cp",))
+
+    model = CausalVideoVAE(config=TINY)
+    variables = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 1, 16, 16, 3)),
+        rng=jax.random.PRNGKey(2))
+
+    z = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 2, 2, 4))
+    mono = model.apply(variables, z, method=model.decode)  # [1, 25, 16, 16, 3]
+
+    z_sharded = jax.device_put(
+        z, jax.sharding.NamedSharding(mesh, P(None, "cp")))
+    out = cp_vae_decode(model, variables, z_sharded, mesh, axis_name="cp")
+    assert out.shape == mono.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(mono), atol=2e-5)
