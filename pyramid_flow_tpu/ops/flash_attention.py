@@ -45,6 +45,7 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 # fewer [bq, bk] VPU op per tile in the (VPU-bound) softmax chain.
 INIT_M_VALUE = -0.35 * float(jnp.finfo(jnp.float32).max)
 NUM_LANES = 128
+LOG2E = 1.4426950408889634  # forward softmax runs in the log2 domain (exp2)
 
 
 def _interpret() -> bool:
@@ -52,11 +53,17 @@ def _interpret() -> bool:
 
 
 def _mask_tile(tq, tk, causal: bool):
-    """tq: [bq, 1] int32, tk: [1, bk] int32 -> bool [bq, bk]."""
-    valid_k = tk != INVALID_TIME
+    """tq: [bq, 1] int32, tk: [1, bk] int32 -> bool [bq, bk].
+
+    causal needs ONLY ``tk <= tq``: INVALID_TIME (2^30) sorts above every
+    real time id, so invalid keys are masked for every valid query for free
+    (padded-QUERY rows attend to everything, but their outputs are sliced
+    off by the wrapper and their upstream gradients are zero). One compare
+    instead of two compares + and — the softmax chain is VPU-bound.
+    """
     if causal:
-        return valid_k & (tk <= tq)
-    return valid_k
+        return tk <= tq
+    return tk != INVALID_TIME
 
 
 # ============================================================== forward
@@ -83,9 +90,11 @@ def _fwd_kernel(tq_ref, tk_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     @pl.when(should_run)
     def _compute():
-        # scale q ([bq, d]) instead of s ([bq, bk]): one fewer full-tile VPU
-        # pass. For the usual d = 64, sm_scale = 2^-3 — exact in bf16.
-        q = q_ref[0, 0] * jnp.asarray(sm_scale, q_ref.dtype)  # [bq, d]
+        # fold the softmax scale AND log2(e) into q ([bq, d] — one small
+        # pass instead of a full-tile one): scores live in the log2 domain so
+        # the online softmax uses exp2, TPU's native transcendental (exp
+        # lowers to exp2 + a multiply per element).
+        q = q_ref[0, 0] * jnp.asarray(sm_scale * LOG2E, q_ref.dtype)  # [bq, d]
         k = k_ref[0, 0]  # [bk, d]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -101,12 +110,12 @@ def _fwd_kernel(tq_ref, tk_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_prev = l_scr[...]
         m_curr = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
         m_next = jnp.maximum(m_prev, m_curr)  # broadcast -> [bq, 128]
-        alpha = jnp.exp(m_prev - m_next)
+        alpha = jnp.exp2(m_prev - m_next)
         # masked entries carry s = DEFAULT_MASK_VALUE << m_next (which never
-        # drops below INIT_M_VALUE), so exp underflows to exactly 0 — no
+        # drops below INIT_M_VALUE), so exp2 underflows to exactly 0 — no
         # explicit zeroing needed; fully-masked rows keep l = 0 and the
         # finalize step maps their output to 0.
-        p = jnp.exp(s - m_next[:, :1])
+        p = jnp.exp2(s - m_next[:, :1])
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
         m_scr[...] = m_next
@@ -122,9 +131,12 @@ def _fwd_kernel(tq_ref, tk_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
         m = m_scr[...]
-        # Fully-masked rows get a huge LSE so the backward's exp(s - lse)
-        # underflows to zero instead of producing inf * 0 = NaN.
-        lse = jnp.where(l == 0.0, jnp.float32(3e38), m[:, :1] + jnp.log(l))
+        # convert the log2-domain running max back to the natural-log LSE the
+        # backward expects. Fully-masked rows get a huge LSE so the
+        # backward's exp(s - lse) underflows to zero instead of inf * 0.
+        lse = jnp.where(
+            l == 0.0, jnp.float32(3e38),
+            m[:, :1] * jnp.float32(1.0 / LOG2E) + jnp.log(l))
         lse_ref[0, 0, 0] = lse[:, 0].astype(jnp.float32)
 
 
