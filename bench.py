@@ -109,7 +109,11 @@ def main():
     log(f"timed run: {elapsed:.1f}s"
         + (f" (dit {elapsed - dec:.1f}s / vae decode {dec:.1f}s)" if dec else ""))
 
-    baseline = 330.0 / 4.0  # A100 5s@768p prorated to 384p token count
+    # reference: 330 s for 5 s (temp=16) 768x1280 on one A100 (README.md:218),
+    # prorated linearly by video length and latent area. At the default
+    # 384x640/temp=16 this gives 82.5 s — conservative for the baseline,
+    # since attention scales superlinearly in area.
+    baseline = 330.0 * (temp / 16.0) * (height * width) / (768.0 * 1280.0)
     print(json.dumps({
         "metric": f"t2v_{seconds:.0f}s_{height}p_wallclock",
         "value": round(elapsed, 2),

@@ -68,9 +68,7 @@ def generate(req: dict) -> bytes:
                   "cartoon style, worst quality, low quality, blurry")
     emb, mask, pooled = te(prompt)
     nemb, nmask, npooled = te(neg)
-    frames = pipe.generate(
-        jax.random.PRNGKey(int(req.get("seed", 0))),
-        emb, mask, pooled, nemb, nmask, npooled,
+    kwargs = dict(
         height=int(req.get("height", 384)), width=int(req.get("width", 640)),
         temp=int(req.get("temp", 16)),
         num_inference_steps=int(req.get("num_inference_steps", 20)),
@@ -79,6 +77,28 @@ def generate(req: dict) -> bytes:
         video_guidance_scale=float(req.get("video_guidance_scale", 5.0)),
         output_type="pixels",
     )
+    rng = jax.random.PRNGKey(int(req.get("seed", 0)))
+    if req.get("image"):
+        # image-to-video: "image" = base64 PNG/JPEG, resized to (height, width)
+        # (the reference app's I2V tab, app.py:171-243)
+        import base64
+
+        from PIL import Image
+
+        from pyramid_flow_tpu.models.vae.model import (
+            chunk_encode, gaussian_sample)
+
+        img = Image.open(io.BytesIO(base64.b64decode(req["image"])))
+        img = img.convert("RGB").resize((kwargs["width"], kwargs["height"]))
+        px = (np.asarray(img, np.float32) / 127.5 - 1.0)[None, None]
+        moments = chunk_encode(pipe.vae, pipe.vae_params, jax.numpy.asarray(px))
+        rng, sub = jax.random.split(rng)
+        latent = gaussian_sample(moments, sub)
+        frames = pipe.generate_i2v(
+            rng, latent, emb, mask, pooled, nemb, nmask, npooled, **kwargs)
+    else:
+        frames = pipe.generate(
+            rng, emb, mask, pooled, nemb, nmask, npooled, **kwargs)
     frames = np.asarray(frames)[0]
     buf = io.BytesIO()
     try:
