@@ -1,0 +1,103 @@
+"""String-prompt runner + HTTP serving-layer tests (tiny models, CPU).
+
+Covers the user-facing surfaces: ``PyramidFlowRunner`` (the reference's
+``PyramidDiTForVideoGeneration`` object) and ``tools/serve.py``'s generate
+handler (the reference's Gradio apps).
+"""
+
+import io
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from pyramid_flow_tpu.models.flux.model import FluxConfig, PyramidFluxTransformer
+from pyramid_flow_tpu.models.vae.model import CausalVideoVAE, VAEConfig
+from pyramid_flow_tpu.pipeline.pyramid_pipeline import PyramidFlowPipeline
+from pyramid_flow_tpu.pipeline.runner import (
+    DEFAULT_NEGATIVE_PROMPT, PROMPT_SUFFIX, PyramidFlowRunner)
+
+DIT_CFG = FluxConfig(
+    in_channels=16, num_layers=1, num_single_layers=1, attention_head_dim=8,
+    num_attention_heads=4, joint_attention_dim=32, pooled_projection_dim=16,
+    axes_dims_rope=(4, 2, 2))
+VAE_CFG = VAEConfig(
+    latent_channels=4, block_out_channels=(8, 8, 16, 16),
+    encoder_layers_per_block=(1, 1, 1, 1),
+    decoder_layers_per_block=(1, 1, 1, 1), num_groups=4)
+
+
+class FakeTextEncoder:
+    """Deterministic stand-in with the FluxTextEncoder call signature."""
+
+    def __init__(self):
+        self.calls = []
+
+    def __call__(self, prompts):
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        self.calls.append(list(prompts))
+        b = len(prompts)
+        rng = np.random.default_rng(abs(hash(tuple(prompts))) % 2**32)
+        emb = jnp.asarray(rng.standard_normal((b, 8, 32)), jnp.float32)
+        mask = jnp.ones((b, 8), bool)
+        pooled = jnp.asarray(rng.standard_normal((b, 16)), jnp.float32)
+        return emb, mask, pooled
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe():
+    rng = jax.random.PRNGKey(0)
+    dit = PyramidFluxTransformer(config=DIT_CFG, dtype=jnp.float32)
+    params = dit.init(
+        rng, jnp.zeros((2, 16, 16)), jnp.zeros((2, 16, 3)),
+        jnp.zeros((2, 16), jnp.int32), jnp.zeros((2, 8, 32)),
+        jnp.ones((2, 8), bool), jnp.zeros((2, 16)), jnp.zeros((2,)))
+    vae = CausalVideoVAE(config=VAE_CFG)
+    vae_params = vae.init(rng, jnp.zeros((1, 1, 32, 32, 3)), rng=rng)
+    return PyramidFlowPipeline(dit, params, vae, vae_params,
+                               latent_channels=4, dtype=jnp.float32)
+
+
+def test_runner_t2v(tiny_pipe):
+    te = FakeTextEncoder()
+    runner = PyramidFlowRunner(tiny_pipe, te)
+    out = runner.generate("a cat", temp=2, height=64, width=64,
+                          num_inference_steps=[2, 2, 2],
+                          video_num_inference_steps=[1, 1, 1],
+                          output_type="pixels")
+    assert np.asarray(out).shape == (1, 9, 64, 64, 3)
+    # prompt augmentation + default negative prompt (reference :1019,1050)
+    assert te.calls[0] == ["a cat" + PROMPT_SUFFIX]
+    assert te.calls[1] == [DEFAULT_NEGATIVE_PROMPT]
+
+
+def test_runner_i2v(tiny_pipe):
+    te = FakeTextEncoder()
+    runner = PyramidFlowRunner(tiny_pipe, te)
+    img = np.zeros((64, 64, 3), np.uint8)
+    out = runner.generate_i2v("a dog", img, temp=2, height=64, width=64,
+                              video_num_inference_steps=[1, 1, 1],
+                              output_type="pixels")
+    # i2v: unit 0 is the input image; temp=2 -> 2 units -> 9 frames
+    assert np.asarray(out).shape == (1, 9, 64, 64, 3)
+
+
+def test_serve_generate_handler(tiny_pipe):
+    import serve as serve_mod
+
+    serve_mod.STATE.update(pipe=tiny_pipe, te=FakeTextEncoder())
+    body, ctype = serve_mod.generate({
+        "prompt": "a bird", "temp": 1, "height": 64, "width": 64,
+        "num_inference_steps": 2, "video_num_inference_steps": 1,
+    })
+    assert ctype in ("video/mp4", "application/x-npz")
+    if ctype == "application/x-npz":
+        frames = np.load(io.BytesIO(body))["frames"]
+        assert frames.shape == (1, 64, 64, 3)
