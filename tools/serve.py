@@ -44,12 +44,20 @@ def build_pipeline(args):
     comps = load_pretrained_components(args.model_path, args.variant,
                                        args.model_name)
     dtype = jnp.bfloat16
+    mesh = None
+    if getattr(args, "sp", 1) > 1:
+        # multi-chip sequence-parallel serving (the reference's
+        # app_multigpu.py torchrun engine becomes a mesh config)
+        from pyramid_flow_tpu.parallel.mesh import MeshConfig, make_mesh
+        mesh = make_mesh(MeshConfig(dp=1, fsdp=1, sp=args.sp))
     if args.model_name == "pyramid_flux":
-        dit = PyramidFluxTransformer(config=FluxConfig(), dtype=dtype)
+        dit = PyramidFluxTransformer(config=FluxConfig(), dtype=dtype,
+                                     mesh=mesh)
         te = FluxTextEncoder(comps["clip"], comps["t5"], args.model_path,
                              dtype=dtype)
     else:
-        dit = PyramidDiffusionMMDiT(config=MMDiTConfig(), dtype=dtype)
+        dit = PyramidDiffusionMMDiT(config=MMDiTConfig(), dtype=dtype,
+                                    mesh=mesh)
         te = SD3TextEncoder(comps["clip"], comps["clip_g"], comps["t5"],
                             args.model_path, dtype=dtype)
     vae = CausalVideoVAE(config=VAEConfig(), dtype=dtype)
@@ -152,6 +160,8 @@ def main():
     p.add_argument("--model_name", default="pyramid_flux")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel degree (multi-chip serving)")
     args = p.parse_args()
 
     print("loading models ...", file=sys.stderr)
