@@ -127,6 +127,11 @@ class PyramidFlowPipeline:
         from ..models.vae.model import CausalVideoVAE, VAEConfig
         from ..utils.checkpoint import load_pretrained_components
 
+        # API parity: the reference's GPU-memory staging knob (ctor :201-211)
+        # is meaningless on TPU (HBM holds the full pipeline); accept and
+        # ignore it so callers can switch without edits.
+        kwargs.pop("cpu_offloading", None)
+
         comps = load_pretrained_components(
             model_path, model_variant, model_name, load_vae=load_vae)
         if model_name == "pyramid_flux":
