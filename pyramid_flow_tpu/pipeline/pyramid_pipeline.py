@@ -122,10 +122,13 @@ class PyramidFlowPipeline:
         """Build a pipeline from a released checkpoint dir (HF snapshot
         layout; mirrors the reference ctor's component loading :138-159).
         Text encoding stays separate — see ``models.text.encoder``."""
-        from ..models.flux.model import FluxConfig, PyramidFluxTransformer
-        from ..models.mmdit.model import MMDiTConfig, PyramidDiffusionMMDiT
-        from ..models.vae.model import CausalVideoVAE, VAEConfig
-        from ..utils.checkpoint import load_pretrained_components
+        import os
+
+        from ..models.flux.model import PyramidFluxTransformer
+        from ..models.mmdit.model import PyramidDiffusionMMDiT
+        from ..models.vae.model import CausalVideoVAE
+        from ..utils.checkpoint import (
+            load_model_config, load_pretrained_components)
 
         # API parity: the reference's GPU-memory staging knob (ctor :201-211)
         # is meaningless on TPU (HBM holds the full pipeline); accept and
@@ -134,13 +137,20 @@ class PyramidFlowPipeline:
 
         comps = load_pretrained_components(
             model_path, model_variant, model_name, load_vae=load_vae)
+        dit_dir = os.path.join(model_path, model_variant)
         if model_name == "pyramid_flux":
-            dit = PyramidFluxTransformer(config=FluxConfig(), dtype=dtype,
-                                         mesh=mesh)
+            dit = PyramidFluxTransformer(
+                config=load_model_config(dit_dir, "flux"), dtype=dtype,
+                mesh=mesh)
         else:
-            dit = PyramidDiffusionMMDiT(config=MMDiTConfig(), dtype=dtype,
-                                        mesh=mesh)
-        vae = CausalVideoVAE(config=VAEConfig(), dtype=dtype) if load_vae else None
+            dit = PyramidDiffusionMMDiT(
+                config=load_model_config(dit_dir, "mmdit"), dtype=dtype,
+                mesh=mesh)
+        vae = None
+        if load_vae:
+            vae_cfg = load_model_config(
+                os.path.join(model_path, "causal_video_vae"), "vae")
+            vae = CausalVideoVAE(config=vae_cfg, dtype=dtype)
         return cls(dit, comps["dit"], vae, comps.get("vae"),
                    model_name=model_name, dtype=dtype, **kwargs)
 
@@ -543,7 +553,11 @@ class PyramidFlowPipeline:
         assert self.vae is not None, "pipeline built without a VAE"
         z = self.denormalize_latent(latents).astype(jnp.float32)
         window = 1 if save_memory else 2
-        tile = 256 if save_memory else 512
+        # the reference tiles at 256px under save_memory because its DiT is
+        # offloaded to host RAM on consumer GPUs; on TPU the DiT (5.8 GB)
+        # stays resident — 384px tiles are the largest that coexist with it
+        # (512px tiles OOM a 16 GB chip), with ~2x fewer tiles than 256
+        tile = 384 if save_memory else 512
         # Tile only when a whole frame would blow HBM: up to ~96x96 latent
         # (768x768 pixels) the streaming decode fits comfortably in 16 GB —
         # untiled avoids the 25% overlap recompute and the per-tile dispatch

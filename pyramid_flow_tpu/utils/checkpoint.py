@@ -119,3 +119,43 @@ def load_pretrained_components(model_path: str, model_variant: str = "diffusion_
     if os.path.isdir(te3):
         out["t5"] = convert_t5(load_state_dict(te3))
     return out
+
+
+def load_model_config(component_dir: str, kind: str):
+    """Build a model config dataclass from a checkpoint dir's ``config.json``
+    (the reference uses diffusers ``register_to_config`` JSONs per component
+    dir). Unknown/missing fields fall back to our defaults; returns the
+    default config when no JSON is present.
+
+    kind: 'flux' | 'mmdit' | 'vae'.
+    """
+    import dataclasses
+    import json
+
+    from ..models.flux.model import FluxConfig
+    from ..models.mmdit.model import MMDiTConfig
+    from ..models.vae.model import VAEConfig
+
+    cls = {"flux": FluxConfig, "mmdit": MMDiTConfig, "vae": VAEConfig}[kind]
+    path = os.path.join(component_dir, "config.json")
+    if not os.path.isfile(path):
+        return cls()
+    with open(path) as f:
+        raw = json.load(f)
+
+    # field-name translation from the reference's JSON keys
+    if kind == "vae":
+        raw = dict(raw)
+        if "encoder_layers_per_block" not in raw and "layers_per_block" in raw:
+            raw["encoder_layers_per_block"] = raw["layers_per_block"]
+        for k in ("encoder_layers_per_block", "decoder_layers_per_block",
+                  "block_out_channels", "spatial_down_sample",
+                  "temporal_down_sample"):
+            if k in raw and isinstance(raw[k], list):
+                raw[k] = tuple(raw[k])
+    if kind == "flux" and isinstance(raw.get("axes_dims_rope"), list):
+        raw["axes_dims_rope"] = tuple(raw["axes_dims_rope"])
+
+    names = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {k: v for k, v in raw.items() if k in names}
+    return cls(**kwargs)

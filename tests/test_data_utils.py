@@ -143,3 +143,24 @@ def test_metrics_epoch_log(tmp_path):
     logger.write_epoch_log(3, {"lr": 1e-4})
     entry = json.loads(open(f).read().strip())
     assert entry["epoch"] == 3 and entry["train_loss"] == 2.0
+
+
+def test_load_model_config_from_json(tmp_path):
+    import json
+
+    from pyramid_flow_tpu.utils.checkpoint import load_model_config
+
+    d = tmp_path / "diffusion_transformer_384p"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps({
+        "_class_name": "PyramidFluxTransformer",
+        "num_layers": 4, "num_single_layers": 8,
+        "attention_head_dim": 32, "num_attention_heads": 6,
+        "axes_dims_rope": [8, 12, 12], "unknown_future_field": 1,
+    }))
+    cfg = load_model_config(str(d), "flux")
+    assert cfg.num_layers == 4 and cfg.num_single_layers == 8
+    assert cfg.axes_dims_rope == (8, 12, 12)
+    # defaults when no json
+    cfg2 = load_model_config(str(tmp_path / "missing"), "vae")
+    assert cfg2.latent_channels == 16
