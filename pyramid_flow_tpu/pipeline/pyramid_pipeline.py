@@ -553,19 +553,23 @@ class PyramidFlowPipeline:
         assert self.vae is not None, "pipeline built without a VAE"
         z = self.denormalize_latent(latents).astype(jnp.float32)
         window = 1 if save_memory else 2
-        # the reference tiles at 256px under save_memory because its DiT is
-        # offloaded to host RAM on consumer GPUs; on TPU the DiT (5.8 GB)
-        # stays resident — 384px tiles are the largest that coexist with it
-        # (512px tiles OOM a 16 GB chip), with ~2x fewer tiles than 256
-        tile = 384 if save_memory else 512
+        # the reference tiles at 256px with 1/4 overlap under save_memory
+        # because its DiT is offloaded to host RAM on consumer GPUs; on TPU
+        # the DiT (5.8 GB) stays resident — 384px tiles with 1/8 overlap are
+        # the sweet spot that coexists with it (512px tiles OOM a 16 GB
+        # chip). At 768p this tiles a 96x160 latent with 1.2x redundancy vs
+        # 1.87x for the reference settings; the 48px blend band still hides
+        # seams.
+        tile, overlap = (384, 0.125) if save_memory else (512, 0.25)
         # Tile only when a whole frame would blow HBM: up to ~96x96 latent
         # (768x768 pixels) the streaming decode fits comfortably in 16 GB —
-        # untiled avoids the 25% overlap recompute and the per-tile dispatch
+        # untiled avoids the overlap recompute and the per-tile dispatch
         # chain (the reference always tiles because consumer GPUs are small).
         if z.shape[2] * z.shape[3] > 96 * 96:
             img = tiled_decode(self.vae, self.vae_params, z,
                                tile_sample_min_size=tile,
-                               temporal_chunk=True, window_size=window)
+                               temporal_chunk=True, window_size=window,
+                               overlap_factor=overlap)
         else:
             # window 1 under save_memory (reference :1232-1236): halves the
             # per-window activation peak, which must coexist with the
