@@ -383,3 +383,165 @@ def test_adaln_continuous_scale_shift_order():
     out = AdaLayerNormContinuous().apply(
         {"params": tree}, jnp.asarray(x), jnp.asarray(temb))
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-4)
+
+
+class TorchFluxModel(torch.nn.Module):
+    """Independent torch implementation of the FULL PyramidFluxTransformer
+    forward (reference `modeling_pyramid_flux.py:392-542` semantics on the
+    packed-token interface), state-dict keyed exactly like the released
+    checkpoint so the whole ``convert_flux_dit`` path is exercised."""
+
+    def __init__(self, dim, heads, head_dim, in_ch, joint_dim, pooled_dim,
+                 n_dual, n_single):
+        super().__init__()
+        self.dim = dim
+
+        class _TT(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+
+                class _MLP(torch.nn.Module):
+                    def __init__(self, i):
+                        super().__init__()
+                        self.linear_1 = torch.nn.Linear(i, dim)
+                        self.linear_2 = torch.nn.Linear(dim, dim)
+
+                    def forward(self, x):
+                        return self.linear_2(
+                            torch.nn.functional.silu(self.linear_1(x)))
+
+                self.timestep_embedder = _MLP(256)
+                self.text_embedder = _MLP(pooled_dim)
+
+        self.time_text_embed = _TT()
+        self.context_embedder = torch.nn.Linear(joint_dim, dim)
+        self.x_embedder = torch.nn.Linear(in_ch, dim)
+        self.transformer_blocks = torch.nn.ModuleList(
+            [TorchFluxBlock(dim, heads, head_dim) for _ in range(n_dual)])
+        self.single_transformer_blocks = torch.nn.ModuleList(
+            [TorchFluxSingleBlock(dim, heads, head_dim) for _ in range(n_single)])
+        self.norm_out_linear = torch.nn.Linear(dim, 2 * dim)
+        self.proj_out = torch.nn.Linear(dim, in_ch)
+
+    def forward(self, tokens, pos, times, text, pooled, t, axes):
+        half = 128
+        exponent = -np.log(10000.0) * np.arange(half, dtype=np.float32) / half
+        freqs_t = torch.tensor(np.exp(exponent).astype(np.float32))
+        arg = t.float()[:, None] * freqs_t[None]
+        sin_emb = torch.cat([torch.cos(arg), torch.sin(arg)], dim=-1)
+        temb = (self.time_text_embed.timestep_embedder(sin_emb)
+                + self.time_text_embed.text_embedder(pooled))
+
+        ctx = self.context_embedder(text)
+        x = self.x_embedder(tokens)
+
+        lt = text.shape[1]
+        full_pos = torch.cat(
+            [torch.zeros(pos.shape[0], lt, 3), pos.float()], dim=1)
+        freqs = torch_multiaxis_rope(full_pos, axes)
+        full_t = torch.cat(
+            [torch.zeros(times.shape[0], lt, dtype=times.dtype), times], dim=1)
+        tmask = full_t[:, None, :] <= full_t[:, :, None]
+
+        for blk in self.transformer_blocks:
+            x, ctx = blk(x, ctx, temb, freqs, tmask)
+        h = torch.cat([ctx, x], dim=1)
+        for blk in self.single_transformer_blocks:
+            h = blk(h, temb, freqs, tmask)
+        x = h[:, lt:]
+        e = self.norm_out_linear(torch.nn.functional.silu(temb))
+        scale, shift = e.chunk(2, dim=1)
+        x = torch.nn.functional.layer_norm(x, (self.dim,), eps=1e-6)
+        x = x * (1 + scale[:, None]) + shift[:, None]
+        return self.proj_out(x)
+
+    def reference_state_dict(self):
+        """Rename to the released checkpoint's key layout."""
+        ren = {
+            "norm_out_linear.": "norm_out.linear.",
+        }
+        for i, blk in enumerate(self.transformer_blocks):
+            p = f"transformer_blocks.{i}."
+            ren.update({
+                f"{p}norm1_linear.": f"{p}norm1.linear.",
+                f"{p}norm1_ctx_linear.": f"{p}norm1_context.linear.",
+                f"{p}to_q.": f"{p}attn.to_q.", f"{p}to_k.": f"{p}attn.to_k.",
+                f"{p}to_v.": f"{p}attn.to_v.",
+                f"{p}to_out.": f"{p}attn.to_out.0.",
+                f"{p}add_q.": f"{p}attn.add_q_proj.",
+                f"{p}add_k.": f"{p}attn.add_k_proj.",
+                f"{p}add_v.": f"{p}attn.add_v_proj.",
+                f"{p}to_add_out.": f"{p}attn.to_add_out.",
+                f"{p}rms_q": f"{p}attn.norm_q.weight",
+                f"{p}rms_k": f"{p}attn.norm_k.weight",
+                f"{p}rms_aq": f"{p}attn.norm_added_q.weight",
+                f"{p}rms_ak": f"{p}attn.norm_added_k.weight",
+                f"{p}ff_in.": f"{p}ff.net.0.proj.",
+                f"{p}ff_out.": f"{p}ff.net.2.",
+                f"{p}ffc_in.": f"{p}ff_context.net.0.proj.",
+                f"{p}ffc_out.": f"{p}ff_context.net.2.",
+            })
+        for i, blk in enumerate(self.single_transformer_blocks):
+            p = f"single_transformer_blocks.{i}."
+            ren.update({
+                f"{p}norm_linear.": f"{p}norm.linear.",
+                f"{p}to_q.": f"{p}attn.to_q.", f"{p}to_k.": f"{p}attn.to_k.",
+                f"{p}to_v.": f"{p}attn.to_v.",
+                f"{p}rms_q": f"{p}attn.norm_q.weight",
+                f"{p}rms_k": f"{p}attn.norm_k.weight",
+            })
+        out = {}
+        for k, v in self.state_dict().items():
+            for old, new in sorted(ren.items(), key=lambda kv: -len(kv[0])):
+                if k.startswith(old):
+                    k = new + k[len(old):]
+                    break
+            out[k] = v.detach().float().numpy()
+        return out
+
+
+def test_full_flux_model_matches_torch_oracle():
+    """End-to-end: torch reference-formula model -> reference-layout state
+    dict -> convert_flux_dit -> scanned flax model; activations must agree.
+    This exercises the whole converter (stacked scan layout included)."""
+    from pyramid_flow_tpu.models.flux.model import (
+        FluxConfig, PyramidFluxTransformer)
+
+    dim, heads, head_dim, in_ch = 32, 4, 8, 8
+    joint_dim, pooled_dim = 16, 12
+    cfg = FluxConfig(
+        in_channels=in_ch, num_layers=2, num_single_layers=3,
+        attention_head_dim=head_dim, num_attention_heads=heads,
+        joint_attention_dim=joint_dim, pooled_projection_dim=pooled_dim,
+        axes_dims_rope=(4, 2, 2))
+    tm = TorchFluxModel(dim, heads, head_dim, in_ch, joint_dim, pooled_dim,
+                        2, 3).eval()
+    for p in tm.parameters():
+        p.data = torch.randn_like(p) * 0.1
+
+    from pyramid_flow_tpu.utils.converters import convert_flux_dit
+    variables = convert_flux_dit(tm.reference_state_dict())
+
+    B, L, lt = 2, 12, 5
+    rng = np.random.default_rng(7)
+    tokens = rng.standard_normal((B, L, in_ch)).astype(np.float32)
+    times = np.repeat(np.arange(3), L // 3)[None].repeat(B, 0).astype(np.int32)
+    pos = np.zeros((B, L, 3), np.float32)
+    pos[..., 0] = times
+    pos[..., 1] = rng.integers(0, 4, (B, L))
+    pos[..., 2] = rng.integers(0, 4, (B, L))
+    text = rng.standard_normal((B, lt, joint_dim)).astype(np.float32)
+    pooled = rng.standard_normal((B, pooled_dim)).astype(np.float32)
+    ts = np.asarray([500.0, 25.0], np.float32)
+
+    with torch.no_grad():
+        ref = tm(torch.tensor(tokens), torch.tensor(pos), torch.tensor(times),
+                 torch.tensor(text), torch.tensor(pooled), torch.tensor(ts),
+                 [4, 2, 2]).numpy()
+
+    model = PyramidFluxTransformer(config=cfg)
+    out = model.apply(
+        variables, jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(times),
+        jnp.asarray(text), jnp.ones((B, lt), bool), jnp.asarray(pooled),
+        jnp.asarray(ts))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=2e-3)
