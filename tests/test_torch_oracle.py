@@ -545,3 +545,201 @@ def test_full_flux_model_matches_torch_oracle():
         jnp.asarray(text), jnp.ones((B, lt), bool), jnp.asarray(pooled),
         jnp.asarray(ts))
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=2e-3)
+
+
+class TorchJointBlock(torch.nn.Module):
+    """Independent torch impl of the SD3 JointTransformerBlock
+    (modeling_mmdit_block.py:396-669), incl. the context_pre_only tail."""
+
+    def __init__(self, dim, heads, head_dim, context_pre_only=False):
+        super().__init__()
+        self.heads, self.head_dim = heads, head_dim
+        self.pre_only = context_pre_only
+        LN = lambda: torch.nn.LayerNorm(dim, elementwise_affine=False, eps=1e-6)
+        self.norm1_linear = torch.nn.Linear(dim, 6 * dim)
+        self.norm1_ctx_linear = torch.nn.Linear(
+            dim, 2 * dim if context_pre_only else 6 * dim)
+        self.ln, self.ln_ctx, self.norm2, self.norm2_ctx = LN(), LN(), LN(), LN()
+        mk = lambda: torch.nn.Linear(dim, dim, bias=True)
+        self.to_q, self.to_k, self.to_v, self.to_out = mk(), mk(), mk(), mk()
+        self.add_q, self.add_k, self.add_v = mk(), mk(), mk()
+        if not context_pre_only:
+            self.to_add_out = mk()
+        self.rms_q = torch.nn.Parameter(torch.ones(head_dim))
+        self.rms_k = torch.nn.Parameter(torch.ones(head_dim))
+        self.rms_aq = torch.nn.Parameter(torch.ones(head_dim))
+        self.rms_ak = torch.nn.Parameter(torch.ones(head_dim))
+        self.ff_in = torch.nn.Linear(dim, 4 * dim)
+        self.ff_out = torch.nn.Linear(4 * dim, dim)
+        if not context_pre_only:
+            self.ffc_in = torch.nn.Linear(dim, 4 * dim)
+            self.ffc_out = torch.nn.Linear(4 * dim, dim)
+
+    def forward(self, x, ctx, temb, freqs, tmask):
+        silu = torch.nn.functional.silu
+        e = self.norm1_linear(silu(temb))
+        sh, sc, g, sh2, sc2, g2 = e.chunk(6, dim=1)
+        nx = self.ln(x) * (1 + sc[:, None]) + sh[:, None]
+        ec = self.norm1_ctx_linear(silu(temb))
+        if self.pre_only:
+            csc, csh = ec.chunk(2, dim=1)  # SCALE first (AdaLN-continuous)
+            nc = self.ln_ctx(ctx) * (1 + csc[:, None]) + csh[:, None]
+        else:
+            csh, csc, cg, csh2, csc2, cg2 = ec.chunk(6, dim=1)
+            nc = self.ln_ctx(ctx) * (1 + csc[:, None]) + csh[:, None]
+
+        B, Lc = ctx.shape[:2]
+        hview = lambda t: t.view(B, -1, self.heads, self.head_dim)
+        rms = TorchFluxBlock._rms
+        q = rms(hview(self.to_q(nx)), self.rms_q)
+        k = rms(hview(self.to_k(nx)), self.rms_k)
+        v = hview(self.to_v(nx))
+        cq = rms(hview(self.add_q(nc)), self.rms_aq)
+        ck = rms(hview(self.add_k(nc)), self.rms_ak)
+        cv = hview(self.add_v(nc))
+        q = torch_apply_rope(torch.cat([cq, q], dim=1), freqs)
+        k = torch_apply_rope(torch.cat([ck, k], dim=1), freqs)
+        v = torch.cat([cv, v], dim=1)
+        q, k, v = (t.transpose(1, 2) for t in (q, k, v))
+        o = torch.nn.functional.scaled_dot_product_attention(
+            q, k, v, attn_mask=tmask[:, None])
+        o = o.transpose(1, 2).flatten(2)
+        ctx_o, x_o = o[:, :Lc], o[:, Lc:]
+
+        x = x + g[:, None] * self.to_out(x_o)
+        h = self.norm2(x) * (1 + sc2[:, None]) + sh2[:, None]
+        x = x + g2[:, None] * self.ff_out(
+            torch.nn.functional.gelu(self.ff_in(h), approximate="tanh"))
+        if self.pre_only:
+            return x, ctx
+        ctx = ctx + cg[:, None] * self.to_add_out(ctx_o)
+        hc = self.norm2_ctx(ctx) * (1 + csc2[:, None]) + csh2[:, None]
+        ctx = ctx + cg2[:, None] * self.ffc_out(
+            torch.nn.functional.gelu(self.ffc_in(hc), approximate="tanh"))
+        return x, ctx
+
+
+def test_full_mmdit_model_matches_torch_oracle():
+    """Full PyramidDiffusionMMDiT vs a torch reference-formula model through
+    ``convert_mmdit`` (stacked scan + final context_pre_only block + sincos
+    table + conv-patchify weight reshape)."""
+    from pyramid_flow_tpu.models.mmdit.model import (
+        MMDiTConfig, PyramidDiffusionMMDiT, sincos_pos_embed_table)
+    from pyramid_flow_tpu.utils.converters import convert_mmdit
+
+    dim, heads, head_dim = 32, 4, 8
+    in_ch, patch = 4, 2
+    joint_dim, pooled_dim = 16, 12
+    n_blocks = 3
+    cfg = MMDiTConfig(
+        sample_size=8, in_channels=in_ch, num_layers=n_blocks,
+        attention_head_dim=head_dim, num_attention_heads=heads,
+        caption_projection_dim=dim, pooled_projection_dim=pooled_dim,
+        joint_attention_dim=joint_dim, pos_embed_max_size=12)
+
+    torch.manual_seed(0)
+    blocks = [TorchJointBlock(dim, heads, head_dim, context_pre_only=(i == n_blocks - 1))
+              for i in range(n_blocks)]
+    te_l1 = torch.nn.Linear(256, dim)
+    te_l2 = torch.nn.Linear(dim, dim)
+    pe_l1 = torch.nn.Linear(pooled_dim, dim)
+    pe_l2 = torch.nn.Linear(dim, dim)
+    ctx_emb = torch.nn.Linear(joint_dim, dim)
+    proj = torch.nn.Linear(in_ch * patch * patch, dim)
+    norm_out_linear = torch.nn.Linear(dim, 2 * dim)
+    proj_out = torch.nn.Linear(dim, in_ch * patch * patch)
+    for m in blocks + [te_l1, te_l2, pe_l1, pe_l2, ctx_emb, proj,
+                       norm_out_linear, proj_out]:
+        for p_ in m.parameters():
+            p_.data = torch.randn_like(p_) * 0.1
+
+    table = sincos_pos_embed_table(dim, cfg.pos_embed_max_size,
+                                   cfg.sample_size // patch)
+
+    # ---- build the reference-layout state dict
+    sd = {}
+    def put(mod, key):
+        sd[key + ".weight"] = mod.weight.detach().float().numpy()
+        sd[key + ".bias"] = mod.bias.detach().float().numpy()
+    put(te_l1, "time_text_embed.timestep_embedder.linear_1")
+    put(te_l2, "time_text_embed.timestep_embedder.linear_2")
+    put(pe_l1, "time_text_embed.text_embedder.linear_1")
+    put(pe_l2, "time_text_embed.text_embedder.linear_2")
+    put(ctx_emb, "context_embedder")
+    # linear [D, p1*p2*c] -> conv2d [D, c, p1, p2] (feature order (p1,p2,c))
+    W = proj.weight.detach().float().numpy()
+    sd["pos_embed.proj.weight"] = np.ascontiguousarray(
+        W.reshape(dim, patch, patch, in_ch).transpose(0, 3, 1, 2))
+    sd["pos_embed.proj.bias"] = proj.bias.detach().float().numpy()
+    sd["pos_embed.pos_embed"] = table.reshape(1, -1, dim)
+    for i, b in enumerate(blocks):
+        t = f"transformer_blocks.{i}"
+        put(b.norm1_linear, f"{t}.norm1.linear")
+        put(b.norm1_ctx_linear, f"{t}.norm1_context.linear")
+        put(b.to_q, f"{t}.attn.to_q"); put(b.to_k, f"{t}.attn.to_k")
+        put(b.to_v, f"{t}.attn.to_v"); put(b.to_out, f"{t}.attn.to_out.0")
+        put(b.add_q, f"{t}.attn.add_q_proj"); put(b.add_k, f"{t}.attn.add_k_proj")
+        put(b.add_v, f"{t}.attn.add_v_proj")
+        if not b.pre_only:
+            put(b.to_add_out, f"{t}.attn.to_add_out")
+            put(b.ffc_in, f"{t}.ff_context.net.0.proj")
+            put(b.ffc_out, f"{t}.ff_context.net.2")
+        sd[f"{t}.attn.norm_q.weight"] = b.rms_q.detach().numpy()
+        sd[f"{t}.attn.norm_k.weight"] = b.rms_k.detach().numpy()
+        sd[f"{t}.attn.norm_add_q.weight"] = b.rms_aq.detach().numpy()
+        sd[f"{t}.attn.norm_add_k.weight"] = b.rms_ak.detach().numpy()
+        put(b.ff_in, f"{t}.ff.net.0.proj")
+        put(b.ff_out, f"{t}.ff.net.2")
+    put(norm_out_linear, "norm_out.linear")
+    put(proj_out, "proj_out")
+    variables = convert_mmdit(sd)
+
+    # ---- inputs: integer spatial positions, zero crop offset
+    B, L, lt = 2, 8, 5
+    rng = np.random.default_rng(11)
+    tokens = rng.standard_normal((B, L, in_ch * patch * patch)).astype(np.float32)
+    times = np.repeat(np.arange(2), L // 2)[None].repeat(B, 0).astype(np.int32)
+    pos = np.zeros((B, L, 3), np.float32)
+    pos[..., 0] = times
+    pos[..., 1] = rng.integers(0, 4, (B, L))
+    pos[..., 2] = rng.integers(0, 4, (B, L))
+    offset = np.full((B, 2), 4.0, np.float32)  # (192 - grid)/2-style origin
+    text = rng.standard_normal((B, lt, joint_dim)).astype(np.float32)
+    pooled = rng.standard_normal((B, pooled_dim)).astype(np.float32)
+    ts = np.asarray([700.0, 30.0], np.float32)
+
+    # ---- torch forward
+    with torch.no_grad():
+        half = 128
+        expo = (-np.log(10000.0) * np.arange(half, dtype=np.float32) / half)
+        freqs_t = torch.tensor(np.exp(expo).astype(np.float32))
+        arg = torch.tensor(ts)[:, None] * freqs_t[None]
+        sin_emb = torch.cat([torch.cos(arg), torch.sin(arg)], dim=-1)
+        silu = torch.nn.functional.silu
+        temb = te_l2(silu(te_l1(sin_emb))) + pe_l2(silu(pe_l1(torch.tensor(pooled))))
+        ctx = ctx_emb(torch.tensor(text))
+        x = proj(torch.tensor(tokens))
+        yy = (pos[..., 1] + offset[:, :1]).astype(int)
+        xx = (pos[..., 2] + offset[:, 1:]).astype(int)
+        x = x + torch.tensor(table[yy, xx])
+        # temporal rope over the full head dim, text at t=0
+        tpos = np.concatenate(
+            [np.zeros((B, lt, 1), np.float32), pos[..., :1]], axis=1)
+        freqs = torch_multiaxis_rope(torch.tensor(tpos), [head_dim])
+        full_t = torch.tensor(np.concatenate(
+            [np.zeros((B, lt), np.int32), times], axis=1))
+        tmask = full_t[:, None, :] <= full_t[:, :, None]
+        for b in blocks:
+            x, ctx = b(x, ctx, temb, freqs, tmask)
+        e = norm_out_linear(silu(temb))
+        scale, shift = e.chunk(2, dim=1)
+        x = torch.nn.functional.layer_norm(x, (dim,), eps=1e-6)
+        ref = proj_out(x * (1 + scale[:, None]) + shift[:, None]).numpy()
+
+    # ---- flax forward
+    model = PyramidDiffusionMMDiT(config=cfg)
+    out = model.apply(
+        variables, jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(times),
+        jnp.asarray(text), jnp.ones((B, lt), bool), jnp.asarray(pooled),
+        jnp.asarray(ts), jnp.asarray(offset))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=2e-3)
