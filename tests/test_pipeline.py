@@ -197,3 +197,19 @@ def test_sample_stage_length_rotation():
         low, mid, high = sample_stage_length(r, step=0)
         assert mid == 1 + 31 - high
         assert low == mid
+
+
+def test_generate_batched_prompts(pipeline):
+    """batch > 1: two prompts in one generate call (CFG doubles to 4 rows)."""
+    emb, mask, pooled = _text_inputs(b=2)
+    out = pipeline.generate(
+        jax.random.PRNGKey(5), emb, mask, pooled, emb * 0, mask, pooled * 0,
+        height=64, width=64, temp=2,
+        num_inference_steps=[2, 2, 2], video_num_inference_steps=[1, 1, 1],
+        output_type="latent",
+    )
+    assert out.shape == (2, 2, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # the two rows saw different prompts -> different videos
+    a, bb = np.asarray(out[0]), np.asarray(out[1])
+    assert np.abs(a - bb).max() > 1e-4
