@@ -43,6 +43,7 @@ def test_halo_exchange_semantics():
     np.testing.assert_allclose(got[4:8], [base[0], base[1], base[2], base[3]])
 
 
+@pytest.mark.slow
 def test_cp_encode_matches_monolithic():
     devices = np.asarray(jax.devices()[:2]).reshape(2)
     mesh = jax.sharding.Mesh(devices, ("cp",))
@@ -76,6 +77,7 @@ def test_cp_context_is_scoped():
     assert current_cp_axis() is None
 
 
+@pytest.mark.slow
 def test_cp_decode_matches_monolithic_tail():
     """CP decode must match monolithic decode exactly (the upsample
     frame-drop is globalized via a reverse ppermute shift)."""

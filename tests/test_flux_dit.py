@@ -82,6 +82,7 @@ def _randomize(params, key):
     return jax.tree.unflatten(treedef, leaves)
 
 
+@pytest.mark.slow
 def test_temporal_causality_end_to_end(model_and_params):
     """Perturbing the last frame's tokens must not change earlier frames'
     outputs (temporal-causal attention through all blocks)."""
@@ -97,6 +98,7 @@ def test_temporal_causality_end_to_end(model_and_params):
     assert not np.allclose(out1[:, -8:], out2[:, -8:], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_text_mask_invariance(model_and_params):
     """Padded text token content must not affect outputs."""
     model, params = model_and_params

@@ -67,6 +67,7 @@ def _randomize(params, key):
     )
 
 
+@pytest.mark.slow
 def test_temporal_causality(model_and_params):
     model, params = model_and_params
     params = _randomize(params, jax.random.PRNGKey(3))
@@ -96,6 +97,7 @@ def test_sincos_table_matches_reference_formula():
     np.testing.assert_allclose(table[h_idx, w_idx, half:], expect_h, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_mmdit_pipeline_generation():
     model = PyramidDiffusionMMDiT(config=TINY, dtype=jnp.float32)
     inputs = make_inputs(jax.random.PRNGKey(5), b=1)

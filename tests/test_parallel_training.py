@@ -69,6 +69,7 @@ TINY = FluxConfig(
 
 
 @pytest.mark.parametrize("use_temporal_pyramid", [False, True])
+@pytest.mark.slow
 def test_sharded_train_step(use_temporal_pyramid):
     mesh = make_mesh(MeshConfig(dp=2, fsdp=2, sp=2))
     sched = PyramidFlowMatchEulerDiscreteScheduler()
@@ -126,6 +127,7 @@ def test_anomaly_skip():
     assert int(s_skip.step) == 1
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_single_step():
     """accum_steps=2 over batch 2B == single step over the same batch (same
     rng per micro-batch differs, so compare against manual two-half mean)."""

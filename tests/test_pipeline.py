@@ -76,6 +76,7 @@ def _text_inputs(b=1):
     return emb, mask, pooled
 
 
+@pytest.mark.slow
 def test_generate_single_image(pipeline):
     emb, mask, pooled = _text_inputs()
     out = pipeline.generate(
@@ -156,6 +157,7 @@ def test_full_sequence_noising(sched):
         assert (ts >= lo - 1e-4).all() and (ts <= hi + 1e-4).all()
 
 
+@pytest.mark.slow
 def test_ar_noising_structure(sched):
     t = 8  # 8 temporal latent frames
     latents = [
@@ -199,6 +201,7 @@ def test_sample_stage_length_rotation():
         assert low == mid
 
 
+@pytest.mark.slow
 def test_generate_batched_prompts(pipeline):
     """batch > 1: two prompts in one generate call (CFG doubles to 4 rows)."""
     emb, mask, pooled = _text_inputs(b=2)

@@ -13,6 +13,10 @@ from pyramid_flow_tpu.schedulers.flow_matching import (
 from pyramid_flow_tpu.training.train_state import TrainConfig, create_train_state
 from pyramid_flow_tpu.training.trainer import make_train_step
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 DIT = FluxConfig(
     in_channels=16, num_layers=1, num_single_layers=1, attention_head_dim=8,
     num_attention_heads=4, joint_attention_dim=32, pooled_projection_dim=24,

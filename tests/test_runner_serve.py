@@ -65,6 +65,7 @@ def tiny_pipe():
                                latent_channels=4, dtype=jnp.float32)
 
 
+@pytest.mark.slow
 def test_runner_t2v(tiny_pipe):
     te = FakeTextEncoder()
     runner = PyramidFlowRunner(tiny_pipe, te)

@@ -11,6 +11,8 @@ from pyramid_flow_tpu.models.flux.model import FluxConfig, PyramidFluxTransforme
 from pyramid_flow_tpu.parallel.mesh import MeshConfig, make_mesh
 from pyramid_flow_tpu.pipeline.pyramid_pipeline import PyramidFlowPipeline
 
+pytestmark = pytest.mark.slow
+
 CFG = FluxConfig(
     in_channels=16,
     num_layers=1,

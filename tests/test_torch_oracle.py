@@ -500,6 +500,7 @@ class TorchFluxModel(torch.nn.Module):
         return out
 
 
+@pytest.mark.slow
 def test_full_flux_model_matches_torch_oracle():
     """End-to-end: torch reference-formula model -> reference-layout state
     dict -> convert_flux_dit -> scanned flax model; activations must agree.
@@ -619,6 +620,7 @@ class TorchJointBlock(torch.nn.Module):
         return x, ctx
 
 
+@pytest.mark.slow
 def test_full_mmdit_model_matches_torch_oracle():
     """Full PyramidDiffusionMMDiT vs a torch reference-formula model through
     ``convert_mmdit`` (stacked scan + final context_pre_only block + sincos

@@ -42,6 +42,7 @@ def vae_and_params():
     return model, variables
 
 
+@pytest.mark.slow
 def test_encode_decode_geometry(vae_and_params):
     model, variables = vae_and_params
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 17, 32, 32, 3))
@@ -54,6 +55,7 @@ def test_encode_decode_geometry(vae_and_params):
     assert dec.shape == (1, 17, 32, 32, 3)
 
 
+@pytest.mark.slow
 def test_single_image(vae_and_params):
     model, variables = vae_and_params
     x = jax.random.normal(jax.random.PRNGKey(3), (2, 1, 32, 32, 3))
@@ -76,6 +78,7 @@ def test_temporal_causality(vae_and_params):
     assert not np.allclose(m1[:, 2:], m2[:, 2:], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_chunk_encode_matches_monolithic(vae_and_params):
     model, variables = vae_and_params
     x = jax.random.normal(jax.random.PRNGKey(6), (1, 17, 16, 16, 3))
@@ -85,6 +88,7 @@ def test_chunk_encode_matches_monolithic(vae_and_params):
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(mono), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_chunk_decode_matches_monolithic(vae_and_params):
     model, variables = vae_and_params
     z = jax.random.normal(jax.random.PRNGKey(7), (1, 5, 4, 4, 4))
@@ -106,6 +110,7 @@ def test_gaussian_helpers():
     assert s.shape == (1, 1, 2, 2, 4)
 
 
+@pytest.mark.slow
 def test_tiled_roundtrip_shapes(vae_and_params):
     model, variables = vae_and_params
     x = jax.random.normal(jax.random.PRNGKey(8), (1, 9, 64, 64, 3))
@@ -115,6 +120,7 @@ def test_tiled_roundtrip_shapes(vae_and_params):
     assert dec.shape == (1, 9, 64, 64, 3)
 
 
+@pytest.mark.slow
 def test_training_forward(vae_and_params):
     model, variables = vae_and_params
     x = jax.random.normal(jax.random.PRNGKey(9), (1, 9, 16, 16, 3))
@@ -123,6 +129,7 @@ def test_training_forward(vae_and_params):
     assert dec.shape == (1, 9, 16, 16, 3)
 
 
+@pytest.mark.slow
 def test_reconstruct_facade(vae_and_params):
     from pyramid_flow_tpu.models.vae.model import reconstruct
     model, variables = vae_and_params
@@ -135,6 +142,7 @@ def test_reconstruct_facade(vae_and_params):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_2d_block_variants():
     """Non-causal 2D twin blocks selected via config block-type strings."""
     cfg2d = VAEConfig(

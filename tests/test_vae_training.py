@@ -17,6 +17,8 @@ from pyramid_flow_tpu.training.vae_trainer import (
     make_vae_train_step,
 )
 
+pytestmark = pytest.mark.slow
+
 TINY_VAE = VAEConfig(
     latent_channels=2,
     block_out_channels=(4, 4, 8, 8),
