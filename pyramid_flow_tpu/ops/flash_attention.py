@@ -21,8 +21,23 @@ Mask semantics, derived from the reference:
 
 Implementation: classic 2-pass flash attention (forward online softmax;
 backward dKV + dQ kernels recomputing probabilities from the saved
-log-sum-exp), fp32 statistics, bf16-friendly matmuls on the MXU. On CPU
-backends the kernels run in interpreter mode so the same code path is
+log-sum-exp), fp32 statistics, bf16-friendly matmuls on the MXU.
+
+Two measured v5e optimizations (the softmax chain is VPU-bound at d=64, so
+removing per-element VPU ops is what moves the needle — ablations at
+L=12.3k / the 768p final-unit layout):
+
+* **Per-tile type dispatch via scalar prefetch.** The wrapper reduces the
+  time ids to a per-(q-tile, k-tile) type array (0=skip, 1=fully visible,
+  2=needs element mask) that the kernel branches on with ``pl.when``. Fully
+  visible tiles skip the [bq, bk] compare+select entirely (-13% at the
+  bench layout, where the 3840-token current clip sees everything), and the
+  in-kernel min/max reduction the old skip test needed disappears.
+* **Fused softmax denominator.** v is padded to 128 lanes with a ones column
+  at index d: the pv matmul then computes ``l = sum(p)`` in MXU lanes that a
+  d=64 output would waste, replacing a [bq, bk] VPU reduce (-11%).
+
+On CPU backends the kernels run in interpreter mode so the same code path is
 unit-testable without a TPU.
 """
 
@@ -47,89 +62,103 @@ INIT_M_VALUE = -0.35 * float(jnp.finfo(jnp.float32).max)
 NUM_LANES = 128
 LOG2E = 1.4426950408889634  # forward softmax runs in the log2 domain (exp2)
 
+# tile types (wrapper-computed, scalar-prefetched)
+TILE_SKIP = 0     # no key in the tile is visible to any query in the tile
+TILE_FULL = 1     # every key is visible to every (valid) query — no mask
+TILE_MASKED = 2   # boundary tile — needs the element-wise compare+select
+
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _mask_tile(tq, tk, causal: bool):
-    """tq: [bq, 1] int32, tk: [1, bk] int32 -> bool [bq, bk].
+def _tile_types(time_q, time_kv, bq, bk, causal: bool):
+    """[B, Lq], [B, Lk] int32 -> [B, nq, nk] int32 tile-type array.
 
-    causal needs ONLY ``tk <= tq``: INVALID_TIME (2^30) sorts above every
-    real time id, so invalid keys are masked for every valid query for free
-    (padded-QUERY rows attend to everything, but their outputs are sliced
-    off by the wrapper and their upstream gradients are zero). One compare
-    instead of two compares + and — the softmax chain is VPU-bound.
+    Pure data (tiny): computed inside the surrounding jit from the padded
+    time ids, prefetched into SMEM by the kernel. Correctness notes:
+    * a pure-pad q tile classifies FULL vs pure-pad k tiles (qmin=INVALID);
+      the unmasked softmax then produces garbage only on pad rows, which the
+      wrapper's caller slices off (same contract as before);
+    * any tile with a *mix* of valid and INVALID keys has kmax=INVALID >
+      qmin, so it is never FULL — invalid keys only ever flow through the
+      masked branch.
     """
+    b, lq = time_q.shape
+    lk = time_kv.shape[1]
+    tq = time_q.reshape(b, lq // bq, bq)
+    tk = time_kv.reshape(b, lk // bk, bk)
+    qmin, qmax = tq.min(-1), tq.max(-1)
+    kmin, kmax = tk.min(-1), tk.max(-1)
     if causal:
-        return tk <= tq
-    return tk != INVALID_TIME
+        skip = kmin[:, None, :] > qmax[:, :, None]
+        full = kmax[:, None, :] <= qmin[:, :, None]
+    else:
+        skip = kmin[:, None, :] == INVALID_TIME
+        full = kmax[:, None, :] != INVALID_TIME
+    return jnp.where(skip, TILE_SKIP,
+                     jnp.where(full, TILE_FULL, TILE_MASKED)).astype(jnp.int32)
 
 
 # ============================================================== forward
-def _fwd_kernel(tq_ref, tk_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                m_scr, l_scr, acc_scr, *, causal, sm_scale, num_k_blocks):
+def _fwd_kernel(types_ref, tq_ref, tk_ref, q_ref, k_ref, v_ref, o_ref,
+                lse_ref, m_scr, acc_scr, *, causal, sm_scale, num_k_blocks):
+    b_idx = pl.program_id(0)
+    q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
+    tt = types_ref[b_idx, q_idx, kv_idx]
 
     @pl.when(kv_idx == 0)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, INIT_M_VALUE)
-        l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    tq = tq_ref[0, 0].reshape(-1, 1)
-    tk = tk_ref[0, 0].reshape(1, -1)
-    # block-level skip: if no key in this tile is visible to any query in the
-    # q tile (all later-in-time or invalid), skip the matmuls entirely —
-    # time ids are non-decreasing along the sequence, so for AR layouts this
-    # prunes the strictly-upper-triangular tiles
-    if causal:
-        should_run = jnp.min(tk) <= jnp.max(tq)
-    else:
-        should_run = jnp.min(tk) != INVALID_TIME
+    def _update(s):
+        # online softmax in the log2 domain. acc has NUM_LANES lanes: [:d] is
+        # the weighted value sum, lane d is the running denominator l (the
+        # ones column in v), lanes d+1.. are zero.
+        m_prev = m_scr[...]  # [bq, 128]
+        m_curr = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next[:, :1])
+        v = v_ref[0, 0]  # [bk, 128] (ones column at d)
+        pv = jax.lax.dot(p.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        m_scr[...] = m_next
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-    @pl.when(should_run)
-    def _compute():
+    def _scores():
         # fold the softmax scale AND log2(e) into q ([bq, d] — one small
         # pass instead of a full-tile one): scores live in the log2 domain so
-        # the online softmax uses exp2, TPU's native transcendental (exp
-        # lowers to exp2 + a multiply per element).
-        q = q_ref[0, 0] * jnp.asarray(sm_scale * LOG2E, q_ref.dtype)  # [bq, d]
-        k = k_ref[0, 0]  # [bk, d]
-        s = jax.lax.dot_general(
+        # the online softmax uses exp2, TPU's native transcendental.
+        q = q_ref[0, 0] * jnp.asarray(sm_scale * LOG2E, q_ref.dtype)
+        k = k_ref[0, 0]
+        return jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-        # (measured: a lax.cond fast path that skips mask construction on
-        # fully-visible tiles is a net LOSS on TPU — the branch defeats
-        # Mosaic's software pipelining; the unconditional select is cheaper)
-        mask = _mask_tile(tq, tk, causal)
-        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    @pl.when(tt == TILE_FULL)
+    def _full():
+        _update(_scores())
 
-        m_prev = m_scr[...]  # [bq, 128]
-        l_prev = l_scr[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
-        m_next = jnp.maximum(m_prev, m_curr)  # broadcast -> [bq, 128]
-        alpha = jnp.exp2(m_prev - m_next)
-        # masked entries carry s = DEFAULT_MASK_VALUE << m_next (which never
-        # drops below INIT_M_VALUE), so exp2 underflows to exactly 0 — no
-        # explicit zeroing needed; fully-masked rows keep l = 0 and the
-        # finalize step maps their output to 0.
-        p = jnp.exp2(s - m_next[:, :1])
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-
-        m_scr[...] = m_next
-        l_scr[...] = l_next
-
-        v = v_ref[0, 0]  # [bk, d]
-        pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+    @pl.when(tt == TILE_MASKED)
+    def _masked():
+        tq = tq_ref[0, 0].reshape(-1, 1)
+        tk = tk_ref[0, 0].reshape(1, -1)
+        # causal needs ONLY ``tk <= tq``: INVALID_TIME (2^30) sorts above
+        # every real time id, so invalid keys are masked for every valid
+        # query for free. Masked entries carry DEFAULT_MASK_VALUE << m_next
+        # (never below INIT_M_VALUE), so exp2 underflows to exactly 0.
+        mask = (tk <= tq) if causal else (tk != INVALID_TIME)
+        _update(jnp.where(mask, _scores(), DEFAULT_MASK_VALUE))
 
     @pl.when(kv_idx == num_k_blocks - 1)
     def _finalize():
-        l = l_scr[...][:, :1]
+        acc = acc_scr[...]
+        l = acc[:, NUM_LANES - 1:]  # ones column lives in the LAST lane
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc[:, :o_ref.shape[-1]] * l_inv).astype(o_ref.dtype)
         m = m_scr[...]
         # convert the log2-domain running max back to the natural-log LSE the
         # backward expects. Fully-masked rows get a huge LSE so the
@@ -145,60 +174,66 @@ def _fwd(q, k, v, time_q, time_kv, causal, sm_scale, block_q, block_k):
     lk = k.shape[2]
     nq, nk = lq // block_q, lk // block_k
 
+    types = _tile_types(time_q, time_kv, block_q, block_k, causal)
+    # ones column in the LAST lane: pv then computes the softmax denominator
+    # in MXU lanes a d<128 output would waste (VPU sum-reduce removed)
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, NUM_LANES - 1 - d)))
+    vp = jnp.concatenate(
+        [vp, jnp.ones((b, h, lk, 1), v.dtype)], axis=-1)
+
     grid = (b, h, nq, nk)
-    o, lse = pl.pallas_call(
-        functools.partial(
-            _fwd_kernel, causal=causal, sm_scale=sm_scale, num_k_blocks=nk
-        ),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
-        out_shape=(
-            jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, 1, lq), jnp.float32),
-        ),
         in_specs=[
-            pl.BlockSpec((1, 1, block_q), lambda b, h, i, j: (b, 0, i)),
-            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, j)),
-            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, types: (b, 0, i)),
+            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j, types: (b, 0, j)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j, types: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, types: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_k, NUM_LANES),
+                         lambda b, h, i, j, types: (b, h, j, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, i)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j, types: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j, types: (b, h, 0, i)),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
         ],
+    )
+    o, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, causal=causal, sm_scale=sm_scale, num_k_blocks=nk
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, lq), jnp.float32),
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(time_q[:, None], time_kv[:, None], q, k, v)
+    )(types, time_q[:, None], time_kv[:, None], q, k, vp)
     return o, lse[:, :, 0]
 
 
 # ============================================================= backward
-def _bwd_dkv_kernel(tq_ref, tk_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                    delta_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+def _bwd_dkv_kernel(types_ref, tq_ref, tk_ref, q_ref, k_ref, v_ref, do_ref,
+                    lse_ref, delta_ref, dk_ref, dv_ref, dk_scr, dv_scr,
                     *, causal, sm_scale, num_q_blocks):
+    b_idx = pl.program_id(0)
+    k_idx = pl.program_id(2)
     q_idx = pl.program_id(3)
+    tt = types_ref[b_idx, q_idx, k_idx]
 
     @pl.when(q_idx == 0)
     def _init():
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    tq = tq_ref[0, 0].reshape(-1, 1)
-    tk = tk_ref[0, 0].reshape(1, -1)
-    if causal:
-        should_run = jnp.min(tk) <= jnp.max(tq)
-    else:
-        should_run = jnp.min(tk) != INVALID_TIME
-
-    @pl.when(should_run)
-    def _compute():
+    def _compute(masked: bool):
         q = q_ref[0, 0]        # [bq, d]
         k = k_ref[0, 0]        # [bk, d]
         v = v_ref[0, 0]        # [bk, d]
@@ -209,9 +244,14 @@ def _bwd_dkv_kernel(tq_ref, tk_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale
-        mask = _mask_tile(tq, tk, causal)
-        # p = exp(s - lse); fully-masked rows get a huge lse -> p = 0
-        p = jnp.where(mask, jnp.exp(s - lse[:, :1]), 0.0)
+        # p = exp(s - lse); fully-masked/pad rows have lse=3e38 -> p = 0, so
+        # the FULL branch is exact even for pad queries
+        p = jnp.exp(s - lse[:, :1])
+        if masked:
+            tq = tq_ref[0, 0].reshape(-1, 1)
+            tk = tk_ref[0, 0].reshape(1, -1)
+            mask = (tk <= tq) if causal else (tk != INVALID_TIME)
+            p = jnp.where(mask, p, 0.0)
 
         dv_scr[...] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -226,29 +266,33 @@ def _bwd_dkv_kernel(tq_ref, tk_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
             preferred_element_type=jnp.float32,
         )
 
+    @pl.when(tt == TILE_FULL)
+    def _full():
+        _compute(False)
+
+    @pl.when(tt == TILE_MASKED)
+    def _masked():
+        _compute(True)
+
     @pl.when(q_idx == num_q_blocks - 1)
     def _store():
         dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _bwd_dq_kernel(tq_ref, tk_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                   delta_ref, dq_ref, dq_scr, *, causal, sm_scale, num_k_blocks):
+def _bwd_dq_kernel(types_ref, tq_ref, tk_ref, q_ref, k_ref, v_ref, do_ref,
+                   lse_ref, delta_ref, dq_ref, dq_scr,
+                   *, causal, sm_scale, num_k_blocks):
+    b_idx = pl.program_id(0)
+    q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
+    tt = types_ref[b_idx, q_idx, kv_idx]
 
     @pl.when(kv_idx == 0)
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    tq = tq_ref[0, 0].reshape(-1, 1)
-    tk = tk_ref[0, 0].reshape(1, -1)
-    if causal:
-        should_run = jnp.min(tk) <= jnp.max(tq)
-    else:
-        should_run = jnp.min(tk) != INVALID_TIME
-
-    @pl.when(should_run)
-    def _compute():
+    def _compute(masked: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
@@ -259,8 +303,12 @@ def _bwd_dq_kernel(tq_ref, tk_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale
-        mask = _mask_tile(tq, tk, causal)
-        p = jnp.where(mask, jnp.exp(s - lse[:, :1]), 0.0)
+        p = jnp.exp(s - lse[:, :1])
+        if masked:
+            tq = tq_ref[0, 0].reshape(-1, 1)
+            tk = tk_ref[0, 0].reshape(1, -1)
+            mask = (tk <= tq) if causal else (tk != INVALID_TIME)
+            p = jnp.where(mask, p, 0.0)
 
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -269,6 +317,14 @@ def _bwd_dq_kernel(tq_ref, tk_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dq_scr[...] += jax.lax.dot(
             ds.astype(k.dtype), k, preferred_element_type=jnp.float32
         )
+
+    @pl.when(tt == TILE_FULL)
+    def _full():
+        _compute(False)
+
+    @pl.when(tt == TILE_MASKED)
+    def _masked():
+        _compute(True)
 
     @pl.when(kv_idx == num_k_blocks - 1)
     def _store():
@@ -280,67 +336,80 @@ def _bwd(q, k, v, time_q, time_kv, o, lse, do, causal, sm_scale, block_q, block_
     lk = k.shape[2]
     nq, nk = lq // block_q, lk // block_k
 
+    types = _tile_types(time_q, time_kv, block_q, block_k, causal)
     delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
     lse_r = jnp.broadcast_to(lse[..., None], (b, h, lq, NUM_LANES))
     delta_r = jnp.broadcast_to(delta[..., None], (b, h, lq, NUM_LANES))
 
-    common_in_specs = [
-        pl.BlockSpec((1, 1, block_q), lambda b, h, i, j: (b, 0, j)),   # tq (loop q)
-        pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, i)),   # tk (fixed k)
-        pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j: (b, h, j, 0)),
-        pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j: (b, h, j, 0)),
-        pl.BlockSpec((1, 1, block_q, NUM_LANES), lambda b, h, i, j: (b, h, j, 0)),
-        pl.BlockSpec((1, 1, block_q, NUM_LANES), lambda b, h, i, j: (b, h, j, 0)),
-    ]
-    dk, dv = pl.pallas_call(
-        functools.partial(
-            _bwd_dkv_kernel, causal=causal, sm_scale=sm_scale, num_q_blocks=nq
-        ),
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(b, h, nk, nq),
-        in_specs=common_in_specs,
-        out_specs=[
-            pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j: (b, h, i, 0)),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, t: (b, 0, j)),
+            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j, t: (b, 0, i)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j, t: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, t: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, t: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j, t: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_q, NUM_LANES),
+                         lambda b, h, i, j, t: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_q, NUM_LANES),
+                         lambda b, h, i, j, t: (b, h, j, 0)),
         ],
-        out_shape=(
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
-        ),
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, t: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, t: (b, h, i, 0)),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, causal=causal, sm_scale=sm_scale, num_q_blocks=nq
+        ),
+        grid_spec=dkv_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(time_q[:, None], time_kv[:, None], q, k, v, do, lse_r, delta_r)
+    )(types, time_q[:, None], time_kv[:, None], q, k, v, do, lse_r, delta_r)
 
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, t: (b, 0, i)),
+            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j, t: (b, 0, j)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j, t: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, t: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, t: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j, t: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, NUM_LANES),
+                         lambda b, h, i, j, t: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, NUM_LANES),
+                         lambda b, h, i, j, t: (b, h, i, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda b, h, i, j, t: (b, h, i, 0)),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+    )
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, causal=causal, sm_scale=sm_scale, num_k_blocks=nk
         ),
-        grid=(b, h, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q), lambda b, h, i, j: (b, 0, i)),
-            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, j)),
-            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, NUM_LANES), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, NUM_LANES), lambda b, h, i, j: (b, h, i, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j: (b, h, i, 0)),
+        grid_spec=dq_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(time_q[:, None], time_kv[:, None], q, k, v, do, lse_r, delta_r)
+    )(types, time_q[:, None], time_kv[:, None], q, k, v, do, lse_r, delta_r)
     return dq, dk, dv
 
 
@@ -411,15 +480,17 @@ def flash_attention(
         return -(-x // m) * m
 
     def auto_block_k(l):
-        # big k-tiles win: per-grid-cell overhead dominates small tiles.
-        # Scan-based sweep on v5e (b=2, h=24, d=64): at L=3584
-        # (bq, bk) = (512, 1024) -> 3.25 ms vs (512, 512) 4.34 ms and
-        # (1024, 1024) 3.65 ms; at L=1536, (512, 1024) 1.26 ms is also best.
-        return min(1024, round_up(max(l, 128), 128))
+        # Re-swept on v5e after the tile-type/fused-l kernel (b=2, h=24,
+        # d=64, real pyramid layouts): long sequences (768p units, L>=10k)
+        # want (1024, 2048) — the mask-free full-tile branch amortizes
+        # better; short ones (384p, L~3.2k) want (512, 1024) for less
+        # padding waste. Crossover measured ~flat between 4k and 10k.
+        big = 2048 if l > 4096 else 1024
+        return min(big, round_up(max(l, 128), 128))
 
     def auto_block_q(l):
         lp = round_up(max(l, 128), 128)
-        return min(512, lp)
+        return min(1024 if l > 4096 else 512, lp)
 
     import os
     env_blk = os.environ.get("PF_FLASH_BLOCK")
