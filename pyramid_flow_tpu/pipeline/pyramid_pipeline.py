@@ -154,6 +154,18 @@ class PyramidFlowPipeline:
         return cls(dit, comps["dit"], vae, comps.get("vae"),
                    model_name=model_name, dtype=dtype, **kwargs)
 
+    @classmethod
+    def from_train_state(cls, dit, train_state, vae=None, vae_params=None,
+                         use_ema: bool = False, **kwargs):
+        """Build an inference pipeline from a live/restored ``TrainState``.
+
+        ``use_ema=True`` generates with the EMA weights — the reference
+        trains with an EMA copy and ships it for inference
+        (`train/train_pyramid_flow.py:451-486`). EMA params are kept fp32;
+        compute dtype is governed by the module, so no cast is needed."""
+        params = train_state.ema_params if use_ema else train_state.params
+        return cls(dit, params, vae, vae_params, **kwargs)
+
     def enable_sequential_cpu_offload(self):
         """API-parity no-op (reference :201-211). The reference offloads
         modules to host RAM to fit consumer GPUs (<8 GB); TPU HBM (16-95 GB)
@@ -527,13 +539,16 @@ class PyramidFlowPipeline:
             generated.append(intermed[-1].astype(jnp.float32))
 
         latents_full = jnp.concatenate(generated, axis=1)
-        jax.block_until_ready(latents_full)
+        # force a tiny host transfer: on tunneled platforms (axon)
+        # jax.block_until_ready is a no-op, which would mis-attribute the
+        # dit/decode phase split below. ~27 ms round trip, once per video.
+        float(jnp.sum(latents_full[..., :1, :1, :1]))
         import time as _time
         t_gen_done = _time.time()
         if output_type == "latent":
             return latents_full
         out = self.decode_latent(latents_full, save_memory=save_memory)
-        jax.block_until_ready(out)
+        float(jnp.sum(out[..., :1, :1, :1].astype(jnp.float32)))
         # host-side phase split for benchmarking/observability
         self.last_decode_seconds = _time.time() - t_gen_done
         return out

@@ -26,6 +26,8 @@ __all__ = [
     "restore_checkpoint",
     "latest_checkpoint_step",
     "auto_resume",
+    "export_ema_params",
+    "load_ema_params",
     "load_pretrained_components",
 ]
 
@@ -70,6 +72,36 @@ def auto_resume(output_dir: str, state: Any):
         return state, 0
     path = os.path.join(output_dir, f"checkpoint-{step}")
     return restore_checkpoint(path, state), step
+
+
+def export_ema_params(output_dir: str, step: int, ema_params: Any):
+    """Write ``<output_dir>/checkpoint-<step>-ema`` holding ONLY the EMA
+    parameter tree — the inference-ready weights the reference exports via
+    its EMA save hook (`train/train_pyramid_flow.py:469-486`). Restorable
+    without knowing the optimizer-state structure (:func:`load_ema_params`)."""
+    path = os.path.join(os.path.abspath(output_dir), f"checkpoint-{step}-ema")
+    ckptr = _ckptr()
+    ckptr.save(path, ema_params, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_ema_params(path_or_dir: str, target: Any = None) -> Any:
+    """Load an EMA export. ``path_or_dir`` is either a ``checkpoint-*-ema``
+    dir or a training output dir (the newest ``checkpoint-<step>-ema`` is
+    picked). ``target`` (optional) supplies structure/shardings."""
+    path = os.path.abspath(path_or_dir)
+    if not os.path.basename(path).endswith("-ema"):
+        steps = []
+        for name in os.listdir(path):
+            m = re.fullmatch(r"checkpoint-(\d+)-ema", name)
+            if m and os.path.isdir(os.path.join(path, name)):
+                steps.append(int(m.group(1)))
+        if not steps:
+            raise FileNotFoundError(f"no checkpoint-*-ema under {path}")
+        path = os.path.join(path, f"checkpoint-{max(steps)}-ema")
+    ckptr = _ckptr()
+    return ckptr.restore(path, target) if target is not None else ckptr.restore(path)
 
 
 # ------------------------------------------------------------- pretrained

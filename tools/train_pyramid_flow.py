@@ -91,7 +91,8 @@ def main():
     from pyramid_flow_tpu.training.train_state import TrainConfig, create_train_state
     from pyramid_flow_tpu.training.trainer import make_train_step
     from pyramid_flow_tpu.utils.checkpoint import (
-        auto_resume, load_pretrained_components, save_checkpoint)
+        auto_resume, export_ema_params, load_pretrained_components,
+        save_checkpoint)
     from pyramid_flow_tpu.utils.metrics import MetricLogger
 
     n = len(jax.devices())
@@ -246,7 +247,11 @@ def main():
             logger.write_epoch_log(epoch)
             if (epoch + 1) % args.save_ckpt_freq == 0 and jax.process_index() == 0:
                 save_checkpoint(args.output_dir, step, state)
-                print(f"saved checkpoint-{step}", file=sys.stderr)
+                # inference-ready EMA weights, restorable without the
+                # optimizer-state structure (reference EMA save hook,
+                # train/train_pyramid_flow.py:469-486)
+                export_ema_params(args.output_dir, step, state.ema_params)
+                print(f"saved checkpoint-{step} (+ema)", file=sys.stderr)
 
 
 if __name__ == "__main__":
