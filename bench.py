@@ -17,7 +17,10 @@ excluded. The first full video warms the compile cache; the second is timed
 (steady-state serving behaviour).
 
 Env overrides: BENCH_TEMP (latent units, default 16 = 5 s), BENCH_HEIGHT,
-BENCH_WIDTH, BENCH_SKIP_WARMUP=1.
+BENCH_WIDTH, BENCH_SKIP_WARMUP=1, BENCH_SELFCHECK=0 (on-chip kernel
+validation, default on), BENCH_SP / BENCH_FSDP (multi-chip mesh axes — a
+v5p-8 SP run is ``BENCH_SP=8 python bench.py``, matching
+scripts/inference_multidevice.sh).
 """
 
 import faulthandler
@@ -41,6 +44,58 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def selfcheck(vae, vae_params):
+    """On-chip kernel validation (VERDICT r1 #4): the Pallas flash kernel vs
+    the XLA oracle at a mixed AR layout (both dtypes), and chunked-streaming
+    vs monolithic VAE decode. CPU tests exercise these only in interpreter
+    mode; one bad Mosaic lowering would otherwise ship invisible wrong
+    pixels. Fails loudly (raises) on mismatch."""
+    from pyramid_flow_tpu.models.vae.model import chunk_decode
+    from pyramid_flow_tpu.ops.flash_attention import (
+        INVALID_TIME, attention_reference, flash_attention)
+
+    t0 = time.time()
+    # text block + INVALID_TIME padding + per-unit time ids + current clip:
+    # the layout every real generation produces
+    times = np.concatenate([
+        np.zeros(128, np.int32), np.full(64, INVALID_TIME, np.int32),
+        np.repeat(np.arange(1, 5, dtype=np.int32), 120),
+        np.full(480, 5, np.int32)])
+    L = times.shape[0]
+    tq = jnp.asarray(times)[None]
+    for dtype, tol in ((jnp.bfloat16, 2e-3), (jnp.float32, 2e-3)):
+        q = jax.random.normal(jax.random.PRNGKey(7), (1, 8, L, 64), dtype) * 0.3
+        k = jax.random.normal(jax.random.PRNGKey(8), (1, 8, L, 64), dtype) * 0.3
+        v = jax.random.normal(jax.random.PRNGKey(9), (1, 8, L, 64), dtype) * 0.3
+        for causal in (True, False):
+            o_f = np.asarray(flash_attention(q, k, v, tq, causal=causal),
+                             np.float32)
+            o_r = np.asarray(attention_reference(q, k, v, tq, causal=causal),
+                             np.float32)
+            valid = times != INVALID_TIME
+            diff = float(np.abs(o_f - o_r)[:, :, valid].max())
+            assert np.isfinite(o_f[:, :, valid]).all(), (
+                f"selfcheck: non-finite flash output ({dtype}, causal={causal})")
+            assert diff <= tol, (
+                f"selfcheck FAILED: flash vs oracle max|diff|={diff} > {tol} "
+                f"({dtype.__name__}, causal={causal})")
+
+    # chunked streaming decode == monolithic decode (same latent, one chip)
+    z = jax.random.normal(jax.random.PRNGKey(10), (1, 3, 8, 8, 16),
+                          jnp.float32)
+    mono = np.asarray(
+        vae.apply(vae_params, z.astype(jnp.bfloat16), method=vae.decode),
+        np.float32)
+    chunked = np.asarray(
+        chunk_decode(vae, vae_params, z.astype(jnp.bfloat16), window_size=1),
+        np.float32)
+    diff = float(np.abs(mono - chunked).max())
+    assert diff <= 2e-2, (
+        f"selfcheck FAILED: chunked vs monolithic VAE decode max|diff|={diff}")
+    log(f"selfcheck: flash+vae kernels match oracles on-chip "
+        f"({time.time()-t0:.1f}s)")
+
+
 def main():
     from pyramid_flow_tpu.models.flux.model import FluxConfig, PyramidFluxTransformer
     from pyramid_flow_tpu.models.vae.model import CausalVideoVAE, VAEConfig
@@ -49,13 +104,23 @@ def main():
     temp = int(os.environ.get("BENCH_TEMP", 16))
     height = int(os.environ.get("BENCH_HEIGHT", 384))
     width = int(os.environ.get("BENCH_WIDTH", 640))
+    sp = int(os.environ.get("BENCH_SP", 1))
+    fsdp = int(os.environ.get("BENCH_FSDP", 1))
     seconds = (temp * 8 + 1) / 24.0
 
     log(f"bench: {seconds:.1f}s video @ {height}x{width}, devices={jax.devices()}")
 
+    mesh = None
+    if sp > 1 or fsdp > 1:
+        from pyramid_flow_tpu.parallel.mesh import MeshConfig, make_mesh
+        n = len(jax.devices())
+        assert n % (sp * fsdp) == 0, (n, sp, fsdp)
+        mesh = make_mesh(MeshConfig(dp=1, fsdp=fsdp, sp=sp))
+        log(f"mesh: dp=1 fsdp={fsdp} sp={sp}")
+
     cfg = FluxConfig()
     dit = PyramidFluxTransformer(config=cfg, dtype=jnp.bfloat16,
-                                 param_dtype=jnp.bfloat16)
+                                 param_dtype=jnp.bfloat16, mesh=mesh)
     b = 1
     tok = jnp.zeros((b, 64, cfg.in_channels), jnp.bfloat16)
     pos = jnp.zeros((b, 64, 3))
@@ -79,6 +144,9 @@ def main():
 
     pipe = PyramidFlowPipeline(dit, dit_params, vae, vae_params,
                                latent_channels=16, dtype=jnp.bfloat16)
+
+    if os.environ.get("BENCH_SELFCHECK", "1") != "0":
+        selfcheck(vae, vae_params)
 
     rng = jax.random.PRNGKey(3)
     emb = jax.random.normal(jax.random.PRNGKey(4), (b, 128, 4096), jnp.bfloat16)

@@ -100,15 +100,39 @@ def _spec_for_param(path: str, shape: Tuple[int, ...], fsdp_size: int) -> P:
     return P()
 
 
-def param_sharding(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
-    """NamedSharding tree for a parameter pytree."""
+def param_sharding(mesh: Mesh, params, verbose: bool = True):
+    """NamedSharding tree for a parameter pytree.
+
+    Logs the replicated-parameter fraction: with awkward mesh sizes the
+    dim-divisibility rule in :func:`_spec_for_param` can silently leave
+    most of the model replicated ("ZeRO-3" degrading to "mostly
+    replicated"); surfacing the coverage makes that loud.
+    """
     fsdp_size = mesh.shape[FSDP_AXIS]
+    stats = {"sharded": 0, "replicated": 0}
 
     def to_sharding(path, leaf):
         name = "/".join(str(p) for p in path)
-        return NamedSharding(mesh, _spec_for_param(name, leaf.shape, fsdp_size))
+        spec = _spec_for_param(name, leaf.shape, fsdp_size)
+        size = int(np.prod(leaf.shape)) if leaf.shape else 1
+        stats["sharded" if any(spec) else "replicated"] += size
+        return NamedSharding(mesh, spec)
 
-    return jax.tree_util.tree_map_with_path(to_sharding, params)
+    tree = jax.tree_util.tree_map_with_path(to_sharding, params)
+    total = stats["sharded"] + stats["replicated"]
+    if verbose and fsdp_size > 1 and total:
+        frac = stats["replicated"] / total
+        import sys
+        print(f"param_sharding: fsdp={fsdp_size}, "
+              f"{stats['sharded']/1e6:.1f}M params sharded, "
+              f"{stats['replicated']/1e6:.1f}M replicated "
+              f"({frac:.1%} of parameter bytes NOT fsdp-sharded)",
+              file=sys.stderr)
+        if frac > 0.5:
+            print("param_sharding: WARNING — most parameters are replicated; "
+                  "check that major dims divide the fsdp axis size",
+                  file=sys.stderr)
+    return tree
 
 
 def batch_spec(extra_dims: int = 0) -> P:
