@@ -19,6 +19,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def build_text_encoder(args, comps):
+    """Frozen text encoders for online raw-text training (the reference's
+    ``--load_text_encoder``, `train/train_pyramid_flow.py:381-445`)."""
+    from pyramid_flow_tpu.models.text.encoder import (
+        FluxTextEncoder, SD3TextEncoder)
+    if args.model_name == "pyramid_flux":
+        return FluxTextEncoder(comps["clip"], comps["t5"], args.model_path)
+    return SD3TextEncoder(comps["clip"], comps["clip_g"], comps["t5"],
+                          args.model_path)
+
+
+def fill_text_features(batch_np, text_encoder):
+    """Run the frozen encoders over a raw-text batch (host tokenize +
+    jitted encode), producing the same fields pre-extracted features give.
+    The 10% CFG drop happens downstream in the jitted train step by
+    substituting the null features (reference
+    `pyramid_dit_for_video_gen_pipeline.py:597-614`)."""
+    import numpy as _np
+    emb, mask, pooled = text_encoder(list(batch_np["text"]))
+    out = dict(batch_np)
+    out["text_emb"] = _np.asarray(emb, _np.float32)
+    out["text_mask"] = _np.asarray(mask, bool)
+    out["pooled"] = _np.asarray(pooled, _np.float32)
+    return out
+
+
 def parse_args():
     p = argparse.ArgumentParser()
     # model
@@ -29,6 +55,10 @@ def parse_args():
     p.add_argument("--model_variant", default="diffusion_transformer_768p")
     p.add_argument("--load_vae", action="store_true",
                    help="train from raw pixels (otherwise pre-extracted latents)")
+    p.add_argument("--load_text_encoder", action="store_true",
+                   help="train from raw text: run the frozen T5/CLIP encoders "
+                        "per step instead of loading pre-extracted features "
+                        "(reference pyramid_dit_for_video_gen_pipeline.py:597-614)")
     # data
     p.add_argument("--anno_file", default=None,
                    help="required unless --debug_tiny (synthetic batches)")
@@ -125,12 +155,28 @@ def main():
     sched = PyramidFlowMatchEulerDiscreteScheduler()
 
     # init / load params
+    text_encoder = None
     if args.model_path:
         comps = load_pretrained_components(
             args.model_path, args.model_variant, args.model_name,
             load_vae=args.load_vae)
+        if "dit" not in comps:
+            sys.exit(f"no DiT weights under "
+                     f"{args.model_path}/{args.model_variant} — check "
+                     f"--model_path/--model_variant")
         params = comps["dit"]
+        if args.load_text_encoder:
+            missing = [k for k in (("clip", "t5") if args.model_name ==
+                       "pyramid_flux" else ("clip", "clip_g", "t5"))
+                       if k not in comps]
+            if missing:
+                sys.exit(f"--load_text_encoder: missing text-encoder weights "
+                         f"{missing} under {args.model_path}/text_encoder*")
+            text_encoder = build_text_encoder(args, comps)
     else:
+        if args.load_text_encoder:
+            sys.exit("--load_text_encoder needs --model_path (tokenizers + "
+                     "frozen T5/CLIP weights)")
         b = args.batch_size
         cfg = dit.config
         params = dit.init(
@@ -159,7 +205,9 @@ def main():
             args.frame_per_unit, args.corrupt_ratio)
 
         if args.anno_file:
-            ds = LengthGroupedVideoTextDataset(args.anno_file, args.max_frames)
+            ds = LengthGroupedVideoTextDataset(
+                args.anno_file, args.max_frames,
+                load_text_fea=not args.load_text_encoder)
             loader = create_length_grouped_video_text_dataloader(
                 ds, args.batch_size, rank=jax.process_index(),
                 world=jax.process_count(), sync_group=args.video_sync_group)
@@ -186,6 +234,12 @@ def main():
             sys.exit("--anno_file is required unless --debug_tiny")
 
         null = (np.load(args.null_text_fea) if args.null_text_fea else None)
+        if text_encoder is not None and null is None:
+            # null features = encoding of the empty prompt, computed once
+            # (what extract_text_features.py would have cached)
+            nemb, _, npooled = text_encoder("")
+            null = {"prompt_embed": np.asarray(nemb, np.float32)[0],
+                    "pooled_prompt_embed": np.asarray(npooled, np.float32)[0]}
         logger = MetricLogger(
             log_file=os.path.join(args.output_dir, "log.txt"),
             print_fn=lambda m: print(m, file=sys.stderr))
@@ -196,6 +250,9 @@ def main():
         for epoch in range(args.epochs):
             for _ in range(args.steps_per_epoch):
                 batch_np = next(loader)
+                if (text_encoder is not None and "text" in batch_np
+                        and "text_emb" not in batch_np):
+                    batch_np = fill_text_features(batch_np, text_encoder)
                 b = batch_np["latents"].shape[0]
                 lt = batch_np["text_emb"].shape[1] if "text_emb" in batch_np else 128
                 cfg = dit.config
