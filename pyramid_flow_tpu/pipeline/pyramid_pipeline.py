@@ -454,10 +454,17 @@ class PyramidFlowPipeline:
         output_type: str = "latent",
         save_memory: bool = True,
         input_image_latent: Optional[jnp.ndarray] = None,
+        progress_callback=None,
     ):
         """Text-to-video (reference ``generate`` :1005-1219); pass
         ``input_image_latent`` ([B,1,h,w,C], already normalized) for i2v
-        (reference ``generate_i2v`` :790-1003)."""
+        (reference ``generate_i2v`` :790-1003).
+
+        ``progress_callback(info: dict)`` — per-unit/per-phase progress for
+        serving UIs (the reference app's Gradio progress callbacks,
+        `app.py:186-243`). When set, each unit ends with a tiny forced
+        device sync so reported progress tracks the chip, not the dispatch
+        queue (~27 ms/unit overhead; benchmarks pass no callback)."""
         if isinstance(num_inference_steps, int):
             num_inference_steps = [num_inference_steps] * self.num_stages
         if isinstance(video_num_inference_steps, int):
@@ -537,6 +544,14 @@ class PyramidFlowPipeline:
                     w_lat=w_lat,
                 )
             generated.append(intermed[-1].astype(jnp.float32))
+            if progress_callback is not None:
+                # force the unit's work to finish so progress is honest
+                float(jnp.sum(generated[-1][..., :1, :1, :1]))
+                progress_callback({
+                    "phase": "denoise",
+                    "unit": unit_index + 1,
+                    "units": len(unit_range),
+                })
 
         latents_full = jnp.concatenate(generated, axis=1)
         # force a tiny host transfer: on tunneled platforms (axon)
@@ -547,6 +562,9 @@ class PyramidFlowPipeline:
         t_gen_done = _time.time()
         if output_type == "latent":
             return latents_full
+        if progress_callback is not None:
+            progress_callback({"phase": "decode", "unit": len(unit_range),
+                               "units": len(unit_range)})
         out = self.decode_latent(latents_full, save_memory=save_memory)
         float(jnp.sum(out[..., :1, :1, :1].astype(jnp.float32)))
         # host-side phase split for benchmarking/observability

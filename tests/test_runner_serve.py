@@ -102,3 +102,17 @@ def test_serve_generate_handler(tiny_pipe):
     if ctype == "application/x-npz":
         frames = np.load(io.BytesIO(body))["frames"]
         assert frames.shape == (1, 64, 64, 3)
+    # progress surfaced during generation (VERDICT r1 #6): the denoise
+    # callbacks and the decode phase must have run
+    assert serve_mod.PROGRESS["status"] == "running"
+    assert serve_mod.PROGRESS["phase"] == "decode"
+    assert serve_mod.PROGRESS["unit"] == serve_mod.PROGRESS["units"] == 1
+    assert "elapsed_s" in serve_mod.PROGRESS
+
+
+def test_serve_index_and_progress_endpoints():
+    import serve as serve_mod
+
+    assert "<html" in serve_mod.INDEX_HTML
+    assert "/progress" in serve_mod.INDEX_HTML
+    assert "/generate" in serve_mod.INDEX_HTML
