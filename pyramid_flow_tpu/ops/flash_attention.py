@@ -94,8 +94,18 @@ def _tile_types(time_q, time_kv, bq, bk, causal: bool):
         skip = kmin[:, None, :] > qmax[:, :, None]
         full = kmax[:, None, :] <= qmin[:, :, None]
     else:
-        skip = kmin[:, None, :] == INVALID_TIME
-        full = kmax[:, None, :] != INVALID_TIME
+        # non-causal tile types depend on k only — but the kernel indexes
+        # [b, q_idx, kv_idx], so the array MUST be materialized at full
+        # [b, nq, nk]: a [b, 1, nk] result made the scalar prefetch read out
+        # of bounds for every q-tile >= 1 on real hardware (wrong outputs on
+        # all but the first q-tile; interpreter mode silently absorbed it).
+        # Caught by the on-chip bench selfcheck — VERDICT r1 #4's exact
+        # feared failure mode.
+        nq_t, nk_t = lq // bq, lk // bk
+        skip = jnp.broadcast_to(
+            kmin[:, None, :] == INVALID_TIME, (b, nq_t, nk_t))
+        full = jnp.broadcast_to(
+            kmax[:, None, :] != INVALID_TIME, (b, nq_t, nk_t))
     return jnp.where(skip, TILE_SKIP,
                      jnp.where(full, TILE_FULL, TILE_MASKED)).astype(jnp.int32)
 

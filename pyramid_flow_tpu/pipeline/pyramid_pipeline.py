@@ -585,14 +585,18 @@ class PyramidFlowPipeline:
 
         assert self.vae is not None, "pipeline built without a VAE"
         z = self.denormalize_latent(latents).astype(jnp.float32)
-        window = 1 if save_memory else 2
+        # window=2 even under save_memory: with 384px tiles the per-window
+        # peak tensor is ~0.4 GB, so the reference's window-1 memory dodge
+        # (:1232-1236) costs speed for nothing on TPU — measured 33.0s ->
+        # 31.8s for a 5s 768p decode on v5e. (512px tiles + w2 gave 30.3s
+        # VAE-alone but OOMs once the 5.8 GB DiT is resident.)
+        window = 2
         # the reference tiles at 256px with 1/4 overlap under save_memory
         # because its DiT is offloaded to host RAM on consumer GPUs; on TPU
-        # the DiT (5.8 GB) stays resident — 384px tiles with 1/8 overlap are
-        # the sweet spot that coexists with it (512px tiles OOM a 16 GB
-        # chip). At 768p this tiles a 96x160 latent with 1.2x redundancy vs
-        # 1.87x for the reference settings; the 48px blend band still hides
-        # seams.
+        # the DiT stays resident — 384px tiles with 1/8 overlap are the
+        # sweet spot that coexists with it. At 768p this tiles a 96x160
+        # latent with 1.2x redundancy vs 1.87x for the reference settings;
+        # the 48px blend band still hides seams.
         tile, overlap = (384, 0.125) if save_memory else (512, 0.25)
         # Tile only when a whole frame would blow HBM: up to ~96x96 latent
         # (768x768 pixels) the streaming decode fits comfortably in 16 GB —
@@ -604,10 +608,11 @@ class PyramidFlowPipeline:
                                temporal_chunk=True, window_size=window,
                                overlap_factor=overlap)
         else:
-            # window 1 under save_memory (reference :1232-1236): halves the
+            # UNTILED whole-frame windows are ~7x larger than a 384px tile:
+            # window 1 under save_memory (reference :1232-1236) halves the
             # per-window activation peak, which must coexist with the
             # resident DiT params on one chip
             img = chunk_decode(self.vae, self.vae_params, z,
-                               window_size=window)
+                               window_size=1 if save_memory else window)
         img = jnp.clip(img * 127.5 + 127.5, 0, 255).astype(jnp.uint8)
         return img

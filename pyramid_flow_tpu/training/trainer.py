@@ -91,6 +91,16 @@ def dit_loss_fn(
         pos = jnp.broadcast_to(jnp.asarray(positions)[None], (b,) + positions.shape)
         times = jnp.broadcast_to(jnp.asarray(time_ids)[None], (b,) + time_ids.shape)
 
+        extra = ()
+        if hasattr(dit.config, "pos_embed_max_size"):
+            # mmdit takes the SD3 sincos table crop origin for the stage's
+            # grid (reference cropped_pos_embed; same math as the pipeline)
+            h_s = stage_latents[stage].shape[2]
+            w_s = stage_latents[stage].shape[3]
+            g = dit.config.pos_embed_max_size
+            off = jnp.asarray(
+                [[(g - h_s // 2) // 2, (g - w_s // 2) // 2]], jnp.float32)
+            extra = (jnp.broadcast_to(off, (b, 2)),)
         pred = dit.apply(
             params,
             tokens.astype(text_emb.dtype),
@@ -100,6 +110,7 @@ def dit_loss_fn(
             text_mask[start: start + count],
             pooled[start: start + count],
             sb.timesteps,
+            *extra,
         )
         pred = pred[:, -trainable:]
         target_tokens, _, _, _ = pack_clips([sb.targets])

@@ -30,13 +30,20 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _force(out):
+    """jax.block_until_ready is a NO-OP on the tunneled axon platform —
+    force a (tiny) host transfer instead, which orders behind the queue."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def timeit(fn, *args, iters=5, warmup=2):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)  # ~27 ms round-trip constant, amortized over iters
     return (time.time() - t0) / iters
 
 
@@ -164,10 +171,10 @@ def main():
         pipe_v = PyramidFlowPipeline(dit, params, vae, vp, latent_channels=16)
         z = jax.random.normal(rng, (1, 17, h_lat, w_lat, 16), jnp.float32)
         t0 = time.time()
-        jax.block_until_ready(pipe_v.decode_latent(z, save_memory=True))
+        _force(pipe_v.decode_latent(z, save_memory=True))
         log(f"vae decode warmup(+compile): {time.time()-t0:.1f}s")
         t0 = time.time()
-        jax.block_until_ready(pipe_v.decode_latent(z, save_memory=True))
+        _force(pipe_v.decode_latent(z, save_memory=True))
         log(f"vae decode steady: {time.time()-t0:.1f}s")
 
 
