@@ -160,6 +160,16 @@ def main():
     pl = jax.random.normal(jax.random.PRNGKey(5), (b, 768), jnp.bfloat16)
 
     def run():
+        cb = None
+        if os.environ.get("BENCH_PROGRESS"):
+            t0 = time.time()
+            last = [0.0]
+
+            def cb(info):
+                now = time.time() - t0
+                log(f"  unit {info['unit']}/{info['units']} "
+                    f"[{info['phase']}] +{now - last[0]:.2f}s @ {now:.1f}s")
+                last[0] = now
         out = pipe.generate(
             rng, emb, m, pl, emb * 0, m, pl * 0,
             height=height, width=width, temp=temp,
@@ -167,6 +177,7 @@ def main():
             video_num_inference_steps=[10, 10, 10],
             guidance_scale=7.0, video_guidance_scale=5.0,
             output_type="pixels", save_memory=True,
+            progress_callback=cb,
         )
         np.asarray(out)  # force full materialization on host
         return out

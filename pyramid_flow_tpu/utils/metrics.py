@@ -68,27 +68,57 @@ class MetricLogger:
     `trainer_misc/fsdp_trainer.py:130`)."""
 
     def __init__(self, delimiter: str = "  ", log_file: Optional[str] = None,
-                 tensorboard_dir: Optional[str] = None, print_fn=print):
+                 tensorboard_dir: Optional[str] = None, print_fn=print,
+                 wandb_project: Optional[str] = None,
+                 wandb_config: Optional[dict] = None):
         self.meters: Dict[str, SmoothedValue] = defaultdict(SmoothedValue)
         self.delimiter = delimiter
         self.log_file = log_file
         self.print_fn = print_fn
-        self._tb = None
+        # scalar sinks (reference: tensorboardX via accelerator.log,
+        # `trainer_misc/fsdp_trainer.py:130`; wandb optional,
+        # `train/train_pyramid_flow.py:332-335`). torch's SummaryWriter is
+        # in the base image; tensorflow is the fallback; both degrade to
+        # JSONL-only with a notice rather than failing the run.
+        self._tb = self._tb_kind = None
         if tensorboard_dir:
             try:
-                import tensorflow as tf
-                self._tb = tf.summary.create_file_writer(tensorboard_dir)
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(tensorboard_dir)
+                self._tb_kind = "torch"
             except Exception:
-                self._tb = None
+                try:
+                    import tensorflow as tf
+                    self._tb = tf.summary.create_file_writer(tensorboard_dir)
+                    self._tb_kind = "tf"
+                except Exception:
+                    print_fn("MetricLogger: no tensorboard writer available; "
+                             "scalars go to JSONL only")
+        self._wandb = None
+        if wandb_project:
+            try:
+                import wandb
+                self._wandb = wandb.init(project=wandb_project,
+                                         config=wandb_config or {})
+            except Exception:
+                print_fn("MetricLogger: wandb unavailable; skipping")
 
     def update(self, step: Optional[int] = None, **kwargs):
         for k, v in kwargs.items():
             self.meters[k].update(v)
-        if self._tb is not None and step is not None:
+        if step is None:
+            return
+        if self._tb_kind == "torch":
+            for k, v in kwargs.items():
+                self._tb.add_scalar(k, float(v), step)
+        elif self._tb_kind == "tf":
+            import tensorflow as tf
             with self._tb.as_default():
-                import tensorflow as tf
                 for k, v in kwargs.items():
                     tf.summary.scalar(k, float(v), step=step)
+        if self._wandb is not None:
+            self._wandb.log({k: float(v) for k, v in kwargs.items()},
+                            step=step)
 
     def __getattr__(self, name):
         if name in ("meters", "delimiter", "log_file", "print_fn"):

@@ -92,6 +92,9 @@ def parse_args():
     p.add_argument("--save_ckpt_freq", type=int, default=1, help="epochs")
     p.add_argument("--auto_resume", action="store_true", default=True)
     p.add_argument("--print_freq", type=int, default=20)
+    p.add_argument("--tensorboard_dir", default=None,
+                   help="write scalar summaries (torch SummaryWriter)")
+    p.add_argument("--wandb_project", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--debug_tiny", action="store_true",
                    help="tiny model config (CI/smoke testing)")
@@ -242,6 +245,8 @@ def main():
                     "pooled_prompt_embed": np.asarray(npooled, np.float32)[0]}
         logger = MetricLogger(
             log_file=os.path.join(args.output_dir, "log.txt"),
+            tensorboard_dir=args.tensorboard_dir,
+            wandb_project=args.wandb_project, wandb_config=vars(args),
             print_fn=lambda m: print(m, file=sys.stderr))
         rng = jax.random.PRNGKey(args.seed)
         rank = jax.process_index()
@@ -295,8 +300,8 @@ def main():
                     print(f"Loss is {loss_val}, stopping training",
                           file=sys.stderr)
                     sys.exit(1)
-                logger.update(**{k.split("/")[-1]: float(v)
-                                 for k, v in metrics.items()})
+                logger.update(step=step, **{k.split("/")[-1]: float(v)
+                                            for k, v in metrics.items()})
                 if step % args.print_freq == 0:
                     logger.print_fn(f"epoch {epoch} step {step}  {logger}")
                 step += 1

@@ -38,6 +38,8 @@ def parse_args():
     p.add_argument("--output_dir", default="runs/vae")
     p.add_argument("--save_ckpt_freq", type=int, default=1)
     p.add_argument("--print_freq", type=int, default=20)
+    p.add_argument("--tensorboard_dir", default=None)
+    p.add_argument("--wandb_project", default=None)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -110,6 +112,8 @@ def main():
 
     logger = MetricLogger(
         log_file=os.path.join(args.output_dir, "log.txt"),
+        tensorboard_dir=args.tensorboard_dir,
+        wandb_project=args.wandb_project, wandb_config=vars(args),
         print_fn=lambda m: print(m, file=sys.stderr))
     step = start_step
     for epoch in range(args.epochs):
@@ -121,7 +125,7 @@ def main():
             if not (loss_val == loss_val and abs(loss_val) != float("inf")):
                 print(f"Loss is {loss_val}, stopping training", file=sys.stderr)
                 sys.exit(1)
-            logger.update(**{k.split("/")[-1]: float(v)
+            logger.update(step=step, **{k.split("/")[-1]: float(v)
                              for k, v in metrics.items()})
             if step % args.print_freq == 0:
                 logger.print_fn(f"epoch {epoch} step {step}  {logger}")
