@@ -66,6 +66,11 @@ class FluxConfig:
     axes_dims_rope: Tuple[int, int, int] = (16, 24, 24)
     patch_size: int = 2
     use_temporal_causal: bool = True
+    # guidance-distilled variant: temb also embeds the guidance scale
+    # (reference ``CombinedTimestepGuidanceTextProjEmbeddings``,
+    # `flux_modules/modeling_embedding.py:161-182`; unused by released
+    # Pyramid-Flow configs but part of the model surface)
+    guidance_embeds: bool = False
     # fraction of blocks to rematerialize when training
     gradient_checkpointing_ratio: float = 0.6
 
@@ -85,20 +90,31 @@ def timestep_sinusoidal(t: jnp.ndarray, dim: int = 256) -> jnp.ndarray:
 
 
 class TimestepTextEmbed(nn.Module):
-    """timestep MLP + pooled-text MLP, summed
-    (reference ``CombinedTimestepTextProjEmbeddings`` :185-200)."""
+    """timestep MLP + pooled-text MLP, summed; with ``guidance_embeds`` a
+    third MLP embeds the guidance scale through the same sinusoidal proj
+    (reference ``CombinedTimestepTextProjEmbeddings`` :185-200 and
+    ``CombinedTimestepGuidanceTextProjEmbeddings`` :161-182)."""
 
     embedding_dim: int
+    guidance_embeds: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, timestep, pooled):
+    def __call__(self, timestep, pooled, guidance=None):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         t_emb = timestep_sinusoidal(timestep).astype(pooled.dtype)
         t_emb = nn.Dense(self.embedding_dim, name="timestep_embedder_1", **kw)(t_emb)
         t_emb = nn.Dense(self.embedding_dim, name="timestep_embedder_2", **kw)(
             nn.silu(t_emb))
+        if self.guidance_embeds:
+            assert guidance is not None, "guidance_embeds config needs guidance"
+            g_emb = timestep_sinusoidal(guidance).astype(pooled.dtype)
+            g_emb = nn.Dense(self.embedding_dim, name="guidance_embedder_1",
+                             **kw)(g_emb)
+            g_emb = nn.Dense(self.embedding_dim, name="guidance_embedder_2",
+                             **kw)(nn.silu(g_emb))
+            t_emb = t_emb + g_emb
         p = nn.Dense(self.embedding_dim, name="text_embedder_1", **kw)(pooled)
         p = nn.Dense(self.embedding_dim, name="text_embedder_2", **kw)(nn.silu(p))
         return t_emb + p
@@ -129,14 +145,15 @@ class PyramidFluxTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, latent_tokens, latent_pos, latent_time, text_emb,
-                 text_mask, pooled, timestep):
+                 text_mask, pooled, timestep, guidance=None):
         cfg = self.config
         d = cfg.inner_dim
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         b, lt = text_emb.shape[:2]
 
-        temb = TimestepTextEmbed(embedding_dim=d, name="time_text_embed", **kw)(
-            timestep, pooled)
+        temb = TimestepTextEmbed(
+            embedding_dim=d, guidance_embeds=cfg.guidance_embeds,
+            name="time_text_embed", **kw)(timestep, pooled, guidance)
         ctx = nn.Dense(d, name="context_embedder", **kw)(text_emb)
         x = nn.Dense(d, name="x_embedder", **kw)(latent_tokens)
 

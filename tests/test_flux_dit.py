@@ -141,3 +141,31 @@ def test_pack_clips():
     np.testing.assert_array_equal(times[8:], [2] * 16)
     # history h/w positions live on the current clip's 4x4 grid
     assert pos[:8, 1].max() <= 3.0 and pos[:8, 1].min() >= 0.0
+
+
+def test_guidance_embeds_variant():
+    """Guidance-distilled temb (reference
+    CombinedTimestepGuidanceTextProjEmbeddings, modeling_embedding.py:161):
+    guidance changes the output; omitting it raises."""
+    import pytest as _pytest
+
+    import dataclasses as _dc
+    cfg = _dc.replace(TINY, guidance_embeds=True)
+    model = PyramidFluxTransformer(config=cfg, dtype=jnp.float32)
+    b, l, lt = 1, 16, 8
+    args = (jnp.ones((b, l, cfg.in_channels)) * 0.1, jnp.zeros((b, l, 3)),
+            jnp.zeros((b, l), jnp.int32), jnp.ones((b, lt, cfg.joint_attention_dim)) * 0.1,
+            jnp.ones((b, lt), bool), jnp.ones((b, cfg.pooled_projection_dim)) * 0.1,
+            jnp.full((b,), 500.0))
+    params = model.init(jax.random.PRNGKey(0), *args, guidance=jnp.full((b,), 7.0))
+    assert "guidance_embedder_1" in params["params"]["time_text_embed"]
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    params = jax.tree.unflatten(
+        treedef, [0.03 * jax.random.normal(k, p.shape, p.dtype)
+                  for k, p in zip(keys, leaves)])
+    o1 = model.apply(params, *args, guidance=jnp.full((b,), 3.0))
+    o2 = model.apply(params, *args, guidance=jnp.full((b,), 9.0))
+    assert float(jnp.abs(o1 - o2).max()) > 1e-6
+    with _pytest.raises(AssertionError):
+        model.apply(params, *args)
