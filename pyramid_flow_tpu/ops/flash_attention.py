@@ -179,7 +179,128 @@ def _fwd_kernel(types_ref, tq_ref, tk_ref, q_ref, k_ref, v_ref, o_ref,
         lse_ref[0, 0, 0] = lse[:, 0].astype(jnp.float32)
 
 
+# -------------------------------------------- bounded-softmax forward
+# Softmax is invariant to the shift constant as long as it upper-bounds the
+# scores: numerator and denominator scale by the same 2^-shift, and bf16/fp32
+# share the 8-bit exponent range, so using the Cauchy-Schwarz bound
+# |q_row||k|_max instead of the running row max changes NOTHING numerically
+# until the bound overshoots the true max by ~120 log2 units (impossible for
+# qk-normalized heads; selfcheck + tests guard it). What it buys: the whole
+# online-softmax VPU chain disappears — no [bq,bk] max-reduce, no m compare,
+# no acc rescale — leaving ONE fused sub+exp2+cast pass per tile. Measured
+# ceiling of the running-max kernel is 62 TF/s on v5e (VPU-bound at d=64).
+def _fwd_kernel_bounded(types_ref, tq_ref, tk_ref, mb_ref, q_ref, k_ref,
+                        v_ref, o_ref, lse_ref, acc_scr,
+                        *, causal, sm_scale, num_k_blocks):
+    b_idx = pl.program_id(0)
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+    tt = types_ref[b_idx, q_idx, kv_idx]
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    def _update(s):
+        mb = mb_ref[0, 0].reshape(-1, 1)  # [bq, 1] log2-domain score bound
+        p = jnp.exp2(s - mb)
+        v = v_ref[0, 0]  # [bk, 128] (ones column at d)
+        acc_scr[...] += jax.lax.dot(p.astype(v.dtype), v,
+                                    preferred_element_type=jnp.float32)
+
+    def _scores():
+        q = q_ref[0, 0] * jnp.asarray(sm_scale * LOG2E, q_ref.dtype)
+        k = k_ref[0, 0]
+        return jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(tt == TILE_FULL)
+    def _full():
+        _update(_scores())
+
+    @pl.when(tt == TILE_MASKED)
+    def _masked():
+        tq = tq_ref[0, 0].reshape(-1, 1)
+        tk = tk_ref[0, 0].reshape(1, -1)
+        mask = (tk <= tq) if causal else (tk != INVALID_TIME)
+        _update(jnp.where(mask, _scores(), DEFAULT_MASK_VALUE))
+
+    @pl.when(kv_idx == num_k_blocks - 1)
+    def _finalize():
+        acc = acc_scr[...]
+        l = acc[:, NUM_LANES - 1:]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, 0] = (acc[:, :o_ref.shape[-1]] * l_inv).astype(o_ref.dtype)
+        mb = mb_ref[0, 0].reshape(-1, 1)
+        lse = jnp.where(
+            l == 0.0, jnp.float32(3e38),
+            mb * jnp.float32(1.0 / LOG2E) + jnp.log(l))
+        lse_ref[0, 0, 0] = lse[:, 0].astype(jnp.float32)
+
+
+def _fwd_bounded(q, k, v, time_q, time_kv, causal, sm_scale, block_q, block_k):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    nq, nk = lq // block_q, lk // block_k
+
+    types = _tile_types(time_q, time_kv, block_q, block_k, causal)
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, NUM_LANES - 1 - d)))
+    vp = jnp.concatenate([vp, jnp.ones((b, h, lk, 1), v.dtype)], axis=-1)
+
+    # per-row log2-domain score bound: |q_row| * max|k| * scale * log2(e)
+    # (+1 margin for fp error in the norms/matmul). Pad keys are zeros, so
+    # they never raise the bound; pad-q rows get bound=1, their garbage
+    # outputs are sliced off by the caller (same contract as the main path).
+    qn = jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1))
+    kn = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1))
+    kmax = jnp.max(kn, axis=-1, keepdims=True)
+    mb = qn * kmax * jnp.float32(sm_scale * LOG2E) + 1.0  # [B, H, Lq]
+
+    grid = (b, h, nq, nk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, types: (b, 0, i)),
+            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j, types: (b, 0, j)),
+            pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, types: (b, h, i)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j, types: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, types: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_k, NUM_LANES),
+                         lambda b, h, i, j, types: (b, h, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j, types: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j, types: (b, h, 0, i)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+        ],
+    )
+    o, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_bounded, causal=causal, sm_scale=sm_scale,
+            num_k_blocks=nk
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, lq), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(types, time_q[:, None], time_kv[:, None], mb, q, k, vp)
+    return o, lse[:, :, 0]
+
+
 def _fwd(q, k, v, time_q, time_kv, causal, sm_scale, block_q, block_k):
+    import os
+    if os.environ.get("PF_BOUNDED_SOFTMAX") == "1":
+        return _fwd_bounded(q, k, v, time_q, time_kv, causal, sm_scale,
+                            block_q, block_k)
     b, h, lq, d = q.shape
     lk = k.shape[2]
     nq, nk = lq // block_q, lk // block_k

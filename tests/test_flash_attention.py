@@ -107,3 +107,53 @@ def test_bf16_forward():
         np.asarray(ref)[:, :, valid],
         atol=3e-2,
     )
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_bounded_softmax_matches_reference(causal, monkeypatch):
+    """The bounded-softmax forward (PF_BOUNDED_SOFTMAX=1): replacing the
+    running row max with the Cauchy-Schwarz bound |q||k|max is exact by
+    softmax shift invariance. Forward AND gradients (the backward consumes
+    the bounded lse) must match the oracle."""
+    monkeypatch.setenv("PF_BOUNDED_SOFTMAX", "1")
+    q, k, v, t = make_inputs(jax.random.PRNGKey(5))
+    out = flash_attention(q, k, v, t, causal=causal)
+    ref = attention_reference(q, k, v, t, causal=causal)
+    valid = np.asarray(t[0]) != int(INVALID_TIME)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :, valid], np.asarray(ref)[:, :, valid], atol=2e-5)
+
+    vm = jnp.asarray(valid, jnp.float32)[None, None, :, None]
+
+    def loss_f(q, k, v):
+        return jnp.sum((flash_attention(q, k, v, t, causal=causal) * vm) ** 2)
+
+    def loss_r(q, k, v):
+        return jnp.sum((attention_reference(q, k, v, t, causal=causal) * vm) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a)[:, :, valid], np.asarray(b_)[:, :, valid],
+            atol=5e-4)
+
+
+def test_bounded_softmax_large_scale_scores(monkeypatch):
+    """Scores at the top of the qk-norm operating envelope (|q|,|k| rows
+    ~2x unit-RMS): the Cauchy-Schwarz bound overshoots the true max by tens
+    of log2 units; outputs must still match exactly (exponent headroom).
+    The envelope: overshoot must stay < ~120 log2 units, guaranteed when
+    q/k are RMS-normalized with O(1) gains — which both DiT variants apply
+    (qk-norm). Unnormalized 4x-sigma inputs DO underflow; that is outside
+    the documented contract (see _fwd_bounded docs)."""
+    monkeypatch.setenv("PF_BOUNDED_SOFTMAX", "1")
+    ks = jax.random.split(jax.random.PRNGKey(6), 3)
+    b, h, l, d = 1, 2, 256, 64
+    q = jax.random.normal(ks[0], (b, h, l, d), jnp.float32) * 2.0
+    k = jax.random.normal(ks[1], (b, h, l, d), jnp.float32) * 2.0
+    v = jax.random.normal(ks[2], (b, h, l, d), jnp.float32)
+    t = jnp.zeros((b, l), jnp.int32)
+    out = flash_attention(q, k, v, t, causal=True)
+    ref = attention_reference(q, k, v, t, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
