@@ -298,13 +298,24 @@ def _fwd_bounded(q, k, v, time_q, time_kv, causal, sm_scale, block_q, block_k):
     return o, lse[:, :, 0]
 
 
-def _fwd(q, k, v, time_q, time_kv, causal, sm_scale, block_q, block_k):
-    # bounded-softmax forward is the DEFAULT (+9% on-chip at the 768p
-    # layout, matches the running-max kernel to 1e-3 bf16): both DiT
-    # variants qk-normalize, which keeps the bound inside its envelope.
-    # PF_BOUNDED_SOFTMAX=0 restores the classic online-softmax kernel.
+def _resolve_bounded(bounded):
+    """The bounded-softmax forward is only safe inside the qk-norm
+    envelope (see _fwd_bounded): callers that normalize q/k (both DiT
+    variants) request it with bounded=True; the public default (None) is
+    the classic online-softmax kernel, so silent underflow cannot hit
+    arbitrary users. PF_BOUNDED_SOFTMAX=1/0 force-overrides for A/B."""
     import os
-    if os.environ.get("PF_BOUNDED_SOFTMAX", "1") != "0":
+    env = os.environ.get("PF_BOUNDED_SOFTMAX")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    return bool(bounded)
+
+
+def _fwd(q, k, v, time_q, time_kv, causal, sm_scale, block_q, block_k,
+         bounded=False):
+    if bounded:
         return _fwd_bounded(q, k, v, time_q, time_kv, causal, sm_scale,
                             block_q, block_k)
     b, h, lq, d = q.shape
@@ -551,18 +562,24 @@ def _bwd(q, k, v, time_q, time_kv, o, lse, do, causal, sm_scale, block_q, block_
 
 
 # ============================================================== public API
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _flash(q, k, v, time_q, time_kv, causal, sm_scale, block_q, block_k):
-    o, _ = _fwd(q, k, v, time_q, time_kv, causal, sm_scale, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash(q, k, v, time_q, time_kv, causal, sm_scale, block_q, block_k,
+           bounded):
+    o, _ = _fwd(q, k, v, time_q, time_kv, causal, sm_scale, block_q, block_k,
+                bounded)
     return o
 
 
-def _flash_fwd(q, k, v, time_q, time_kv, causal, sm_scale, block_q, block_k):
-    o, lse = _fwd(q, k, v, time_q, time_kv, causal, sm_scale, block_q, block_k)
+def _flash_fwd(q, k, v, time_q, time_kv, causal, sm_scale, block_q, block_k,
+               bounded):
+    o, lse = _fwd(q, k, v, time_q, time_kv, causal, sm_scale, block_q,
+                  block_k, bounded)
     return o, (q, k, v, time_q, time_kv, o, lse)
 
 
-def _flash_bwd(causal, sm_scale, block_q, block_k, res, do):
+def _flash_bwd(causal, sm_scale, block_q, block_k, bounded, res, do):
+    # backward is identical for both forwards: it consumes the (same
+    # mathematical) lse
     q, k, v, time_q, time_kv, o, lse = res
     dq, dk, dv = _bwd(
         q, k, v, time_q, time_kv, o, lse, do, causal, sm_scale, block_q, block_k
@@ -594,6 +611,7 @@ def flash_attention(
     sm_scale: Optional[float] = None,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
+    bounded: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Flash attention with temporal-causal time-id masking.
 
@@ -610,6 +628,9 @@ def flash_attention(
         time_kv = time_q
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
+    assert q.shape[-1] < NUM_LANES, (
+        f"head_dim {q.shape[-1]} >= {NUM_LANES}: the fused ones-column "
+        f"softmax denominator needs d < {NUM_LANES}")
 
     lq, lk = q.shape[2], k.shape[2]
 
@@ -642,7 +663,8 @@ def flash_attention(
     tqp = _pad_to(time_q.astype(jnp.int32), 1, bq, value=int(INVALID_TIME))
     tkp = _pad_to(time_kv.astype(jnp.int32), 1, bk, value=int(INVALID_TIME))
 
-    o = _flash(qp, kp, vp, tqp, tkp, causal, float(sm_scale), bq, bk)
+    o = _flash(qp, kp, vp, tqp, tkp, causal, float(sm_scale), bq, bk,
+               _resolve_bounded(bounded))
     return o[:, :, :lq]
 
 

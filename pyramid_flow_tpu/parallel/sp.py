@@ -25,7 +25,8 @@ __all__ = ["sp_flash_attention", "ulysses_attention_core"]
 
 
 def ulysses_attention_core(q, k, v, time_ids, *, axis_name: str,
-                           causal: bool, sm_scale: Optional[float]):
+                           causal: bool, sm_scale: Optional[float],
+                           bounded: Optional[bool] = None):
     """Runs on one sp shard: q/k/v are [B, H, L/sp, D], time_ids [B, L] full.
 
     all_to_all #1: scatter heads, gather sequence -> [B, H/sp, L, D]
@@ -41,7 +42,8 @@ def ulysses_attention_core(q, k, v, time_ids, *, axis_name: str,
             x, axis_name, split_axis=2, concat_axis=1, tiled=True)
 
     qf, kf, vf = a2a_in(q), a2a_in(k), a2a_in(v)
-    o = flash_attention(qf, kf, vf, time_ids, causal=causal, sm_scale=sm_scale)
+    o = flash_attention(qf, kf, vf, time_ids, causal=causal,
+                        sm_scale=sm_scale, bounded=bounded)
     return a2a_out(o)
 
 
@@ -54,6 +56,7 @@ def sp_flash_attention(
     *,
     causal: bool = True,
     sm_scale: Optional[float] = None,
+    bounded: Optional[bool] = None,
     axis_name: str = "sp",
 ) -> jnp.ndarray:
     """Sequence-parallel flash attention under GSPMD.
@@ -64,7 +67,7 @@ def sp_flash_attention(
     sp = mesh.shape[axis_name]
     if sp == 1:
         return flash_attention(q, k, v, time_ids, causal=causal,
-                               sm_scale=sm_scale)
+                               sm_scale=sm_scale, bounded=bounded)
     assert q.shape[1] % sp == 0, (
         f"heads ({q.shape[1]}) must divide the sp axis ({sp})")
 
@@ -85,7 +88,7 @@ def sp_flash_attention(
 
     fn = functools.partial(
         ulysses_attention_core, axis_name=axis_name, causal=causal,
-        sm_scale=sm_scale)
+        sm_scale=sm_scale, bounded=bounded)
     shmap = jax.shard_map(
         fn,
         mesh=mesh,

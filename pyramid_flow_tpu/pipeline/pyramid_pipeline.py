@@ -513,7 +513,7 @@ class PyramidFlowPipeline:
         if use_linear_guidance:
             g_list = [max(guidance_scale - alpha * t_, min_guidance_scale)
                       for t_ in range(temp)]
-        for unit_index in unit_range:
+        for done_units, unit_index in enumerate(unit_range, start=1):
             pad_cond_to = self._cond_token_budget(unit_index, h_lat, w_lat)
             g = g_list[unit_index] if use_linear_guidance else guidance_scale
             vg = g_list[unit_index] if use_linear_guidance else video_guidance_scale
@@ -547,9 +547,12 @@ class PyramidFlowPipeline:
             if progress_callback is not None:
                 # force the unit's work to finish so progress is honest
                 float(jnp.sum(generated[-1][..., :1, :1, :1]))
+                # report loop position, not unit_index: under i2v the
+                # range starts at 1 and unit_index+1 would overflow the
+                # total (unit N+1 of N in the serving progress bar)
                 progress_callback({
                     "phase": "denoise",
-                    "unit": unit_index + 1,
+                    "unit": done_units,
                     "units": len(unit_range),
                 })
 

@@ -132,8 +132,6 @@ def main():
             f"flash x1 {at*1e3:.2f} ms | flash x57 {at*57*1e3:.1f} ms "
             f"({at*57/dt*100:.0f}% of fwd)")
 
-    # per-video DiT estimate: unit0 20 steps + 15 units x 10 steps, x3 stages
-    est = sum(stage_times) * 10 * (args.unit + 0)  # crude; logged for context
     log(f"stage fwd times {[f'{t*1e3:.1f}ms' for t in stage_times]}")
 
     if args.trace:

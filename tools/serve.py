@@ -175,7 +175,12 @@ def generate(req: dict) -> bytes:
                   units=1 + max(temp - 1, 0), started=time.time(),
                   prompt=req.get("prompt", "")[:80])
     if req.get("variant") is None and "pipe" in STATE:
-        pipe = STATE["pipe"]  # direct injection (tests / embedding)
+        pipe = STATE["pipe"]  # direct injection (tests / --debug_tiny)
+    elif req.get("variant") and getattr(STATE.get("args"), "model_path",
+                                        None) is None:
+        raise ValueError(
+            "request specifies a model variant but the server has no "
+            "--model_path (running --debug_tiny?)")
     else:
         pipe = build_pipeline(STATE["args"], req.get("variant"))
     te = STATE["te"]
