@@ -213,12 +213,6 @@ def convert_mmdit(sd: Dict[str, np.ndarray]) -> dict:
          "time_text_embed/text_embedder_1")
     _lin(sd, p, "time_text_embed.text_embedder.linear_2",
          "time_text_embed/text_embedder_2")
-    if "time_text_embed.guidance_embedder.linear_1.weight" in sd:
-        # guidance-distilled variant (CombinedTimestepGuidanceTextProj)
-        _lin(sd, p, "time_text_embed.guidance_embedder.linear_1",
-             "time_text_embed/guidance_embedder_1")
-        _lin(sd, p, "time_text_embed.guidance_embedder.linear_2",
-             "time_text_embed/guidance_embedder_2")
     _lin(sd, p, "context_embedder", "context_embedder")
 
     # PatchEmbed3D: conv2d [D, C, p1, p2] -> Dense over (p1, p2, c) features
