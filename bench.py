@@ -63,22 +63,32 @@ def selfcheck(vae, vae_params):
         np.full(480, 5, np.int32)])
     L = times.shape[0]
     tq = jnp.asarray(times)[None]
-    for dtype, tol in ((jnp.bfloat16, 2e-3), (jnp.float32, 2e-3)):
+    # configs cover BOTH kernels: bounded=True is what the DiT blocks run
+    # (qk-normed); bounded=False is the public default. One fp32 config
+    # guards the non-bf16 lowering without doubling the compile bill.
+    configs = [
+        (jnp.bfloat16, True, True), (jnp.bfloat16, False, True),
+        (jnp.bfloat16, True, False), (jnp.bfloat16, False, False),
+        (jnp.float32, True, True), (jnp.float32, True, False),
+    ]
+    for dtype, causal, bounded in configs:
+        tol = 2e-3
         q = jax.random.normal(jax.random.PRNGKey(7), (1, 8, L, 64), dtype) * 0.3
         k = jax.random.normal(jax.random.PRNGKey(8), (1, 8, L, 64), dtype) * 0.3
         v = jax.random.normal(jax.random.PRNGKey(9), (1, 8, L, 64), dtype) * 0.3
-        for causal in (True, False):
-            o_f = np.asarray(flash_attention(q, k, v, tq, causal=causal),
-                             np.float32)
-            o_r = np.asarray(attention_reference(q, k, v, tq, causal=causal),
-                             np.float32)
-            valid = times != INVALID_TIME
-            diff = float(np.abs(o_f - o_r)[:, :, valid].max())
-            assert np.isfinite(o_f[:, :, valid]).all(), (
-                f"selfcheck: non-finite flash output ({dtype}, causal={causal})")
-            assert diff <= tol, (
-                f"selfcheck FAILED: flash vs oracle max|diff|={diff} > {tol} "
-                f"({dtype.__name__}, causal={causal})")
+        o_f = np.asarray(
+            flash_attention(q, k, v, tq, causal=causal, bounded=bounded),
+            np.float32)
+        o_r = np.asarray(attention_reference(q, k, v, tq, causal=causal),
+                         np.float32)
+        valid = times != INVALID_TIME
+        diff = float(np.abs(o_f - o_r)[:, :, valid].max())
+        assert np.isfinite(o_f[:, :, valid]).all(), (
+            f"selfcheck: non-finite flash output ({dtype}, causal={causal}, "
+            f"bounded={bounded})")
+        assert diff <= tol, (
+            f"selfcheck FAILED: flash vs oracle max|diff|={diff} > {tol} "
+            f"({dtype.__name__}, causal={causal}, bounded={bounded})")
 
     # chunked streaming decode == monolithic decode (same latent, one chip)
     z = jax.random.normal(jax.random.PRNGKey(10), (1, 3, 8, 8, 16),

@@ -157,3 +157,10 @@ def test_bounded_softmax_large_scale_scores(monkeypatch):
     out = flash_attention(q, k, v, t, causal=True)
     ref = attention_reference(q, k, v, t, causal=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_head_dim_128_raises_clearly():
+    q = jnp.zeros((1, 1, 128, 128))
+    t = jnp.zeros((1, 128), jnp.int32)
+    with pytest.raises(AssertionError, match="head_dim"):
+        flash_attention(q, q, q, t)
