@@ -13,7 +13,7 @@ python tools/inference.py \
     --model_name pyramid_flux \
     --prompt "A movie trailer featuring the adventures of the 30 year old space man wearing a red wool knitted motorcycle helmet, blue sky, salt desert, cinematic style, shot on 35mm film, vivid colors" \
     --temp 16 --height 768 --width 1280 \
-    --steps 20 --video_steps 10 \
-    --guidance 7.0 --video_guidance 5.0 \
+    --num_inference_steps 20 --video_num_inference_steps 10 \
+    --guidance_scale 7.0 --video_guidance_scale 5.0 \
     --sp "$SP" \
     --output out/
