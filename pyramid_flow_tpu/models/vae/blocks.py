@@ -152,19 +152,21 @@ class TemporalUpsample2x(nn.Module):
         y = y.transpose(0, 1, 5, 2, 3, 4)  # b t p h w c
         y = y.reshape(b, t * 2, h, w, c)
         cp_axis = current_cp_axis()
-        if cp_axis is not None:
-            # context-parallel: the duplicated leading frame must be dropped
-            # GLOBALLY (keeping it would poison every later frame through the
-            # causal convs). Shift the whole sharded sequence left by one:
-            # each device drops its local first frame and appends the next
-            # device's first frame (reverse ppermute; the last device appends
-            # zeros — a junk frame at the global end that causal convs never
-            # look at; callers trim the tail).
+        if cp_axis is not None and is_init:
+            # context-parallel init clip: the duplicated leading frame must be
+            # dropped GLOBALLY (keeping it would poison every later frame
+            # through the causal convs). Shift the whole sharded sequence left
+            # by one: each device drops its local first frame and appends the
+            # next device's first frame (reverse ppermute; the last device
+            # appends zeros — a junk frame at the global end that causal convs
+            # never look at; callers trim the tail). With is_init=False
+            # (continuation semantics — CP *training* clips) there is no
+            # duplicated frame and no shift: local depth-to-space is exact.
             n = jax.lax.axis_size(cp_axis)
             nxt = jax.lax.ppermute(
                 y[:, :1], cp_axis, [(i, i - 1) for i in range(1, n)])
             y = jnp.concatenate([y[:, 1:], nxt], axis=1)
-        elif is_init:
+        elif cp_axis is None and is_init:
             y = y[:, 1:]
         return y
 

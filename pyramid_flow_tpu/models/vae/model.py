@@ -175,11 +175,13 @@ class CausalVideoVAE(nn.Module):
         h = self.post_quant_conv(z, is_init=is_init, temporal_chunk=temporal_chunk)
         return self.decoder(h, is_init=is_init, temporal_chunk=temporal_chunk)
 
-    def decode_features(self, z):
+    def decode_features(self, z, *, is_init=True):
         """Decode up to (excluding) the final conv — the GAN trainer applies
-        ``conv_out`` separately for the adaptive generator weight."""
-        h = self.post_quant_conv(z)
-        return self.decoder(h, skip_conv_out=True)
+        ``conv_out`` separately for the adaptive generator weight.
+        ``is_init=False`` = continuation semantics (no duplicated-first-frame
+        drop), used by the context-parallel training step."""
+        h = self.post_quant_conv(z, is_init=is_init)
+        return self.decoder(h, skip_conv_out=True, is_init=is_init)
 
     def __call__(self, x, rng=None, sample_posterior=True):
         moments = self.encode(x)
@@ -193,10 +195,20 @@ class CausalVideoVAE(nn.Module):
 
 def apply_causal_conv_out(kernel, bias, features):
     """The decoder's last conv as a pure function of its params (for the GAN
-    adaptive weight: d||loss||/d(last layer) only)."""
+    adaptive weight: d||loss||/d(last layer) only). Under an active
+    ``cp_context`` the front zero-pad becomes a halo exchange so the
+    context-parallel VAE train step stays exact (reference CP applies the
+    halo to every conv incl. the last, `modeling_causal_conv.py:95-114`)."""
+    from ...parallel.cp import current_cp_axis, halo_exchange
+
     kt = kernel.shape[0]
-    pad = jnp.zeros((features.shape[0], kt - 1) + features.shape[2:], features.dtype)
-    x = jnp.concatenate([pad, features], axis=1)
+    cp_axis = current_cp_axis()
+    if cp_axis is not None and kt > 1:
+        x = halo_exchange(features, kt - 1, cp_axis)
+    else:
+        pad = jnp.zeros(
+            (features.shape[0], kt - 1) + features.shape[2:], features.dtype)
+        x = jnp.concatenate([pad, features], axis=1)
     out = jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype), (1, 1, 1),
         [(0, 0), (1, 1), (1, 1)], dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))

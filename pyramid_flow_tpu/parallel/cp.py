@@ -108,10 +108,10 @@ def cp_vae_decode(vae, variables, z: jnp.ndarray, mesh: Mesh,
     uneven shapes that SPMD cannot trace as one program. Equivalent uniform
     formulation used here:
 
-    * every device decodes ``T'/cp`` latent frames with ``is_init=False``;
-      per-conv halo exchange supplies temporal context, and device 0's halo
-      is zeros — exactly the front zero-padding an ``is_init`` conv applies,
-      so all conv arithmetic matches the reference;
+    * every device decodes ``T'/cp`` latent frames; per-conv halo exchange
+      supplies temporal context, and device 0's halo is zeros — exactly the
+      front zero-padding an ``is_init`` conv applies, so all conv arithmetic
+      matches the reference;
     * each temporal upsampler drops the duplicated leading frame GLOBALLY by
       shifting the sharded sequence left one frame (reverse ppermute inside
       ``TemporalUpsample2x``) — keeping it locally would poison every later
@@ -132,7 +132,7 @@ def cp_vae_decode(vae, variables, z: jnp.ndarray, mesh: Mesh,
     def inner(z_shard):
         with cp_context(axis_name):
             return vae.apply(variables, z_shard, method=vae.decode,
-                             is_init=False)
+                             is_init=True)
 
     shmap = jax.shard_map(
         inner,

@@ -31,7 +31,6 @@ from flax import struct
 from ..models.vae.model import (
     apply_causal_conv_out,
     gaussian_kl,
-    gaussian_sample,
 )
 
 __all__ = ["VAETrainConfig", "VAETrainState", "create_vae_train_state",
@@ -116,26 +115,64 @@ def create_vae_train_state(vae_params, disc_params,
 
 
 def make_vae_train_step(vae, lpips, lpips_params, disc, *, use_3d_disc=False,
-                        freeze_encoder=False, donate=True):
+                        freeze_encoder=False, donate=True, is_init=True,
+                        mesh=None, cp_axis=None, dp_axis=None,
+                        grads_only=False):
     """Build the jitted GAN-VAE step.
 
     step(state, video [B,T,H,W,3], rng) -> (state, metrics)
+
+    ``grads_only=True`` returns ``(gen_grads, disc_grads, metrics)`` without
+    applying optimizer updates — used by the CP exactness tests to compare
+    raw gradients (post-Adam params amplify fp-association noise into ±lr
+    sign flips on noise-dominated elements, which is not a parallelism bug).
+
+    Context parallelism (``cp_axis`` + ``mesh``): the time axis is sharded
+    over the ``cp_axis`` mesh axis — the reference's VAE stage-2 long-clip
+    training (`causal_video_vae_wrapper.py:106-135`,
+    `scripts/train_causal_video_vae.sh:53-57`). TPU-native form:
+
+    * every ``CausalConv3d`` halo-exchanges ``k_t-1`` frames via
+      ``lax.ppermute`` instead of the reference's per-conv isend/irecv;
+    * KL uses the globally-gathered posterior: per-sample KL sums are
+      ``psum``-ed over the cp axis before the batch mean (the reference
+      gathers the posterior tensor itself, `modeling_causal_vae.py:553-554`
+      — same value, no gather materialized);
+    * LPIPS and the 2D discriminator are per-frame: they run on each shard's
+      frames and reduce with ``pmean`` — exact. The 3D discriminator needs
+      the whole clip: its input is ``all_gather``-ed over cp (redundant
+      compute on each device, exact);
+    * shards are uniform (SPMD traces one program), so clips must have
+      ``T % (8*cp) == 0`` frames and run with ``is_init=False``
+      (continuation semantics: no special lone first frame). The reference
+      instead gives rank 0 an uneven extra frame — a torch-only luxury.
+      Numerically the clip start still sees zero history (device 0's halo is
+      zeros == causal front padding).
+
+    ``dp_axis`` optionally adds batch sharding over another mesh axis (the
+    reference's DDP); gradients of replicated params reduce automatically
+    through the ``shard_map`` transpose.
     """
+    from jax.sharding import PartitionSpec as P
+
+    from ..models.vae.model import _split_moments
+    from ..parallel.cp import cp_context
+
+    cp = cp_axis is not None
+    if cp:
+        assert mesh is not None, "cp training needs the mesh"
+        assert not is_init, (
+            "CP training uses uniform continuation clips (is_init=False, "
+            "T % (8*cp) == 0)")
+        red_axes = tuple(a for a in (dp_axis, cp_axis) if a)
+        vspec = P(dp_axis, cp_axis) if dp_axis else P(None, cp_axis)
+
+    def pm(x):
+        """Global mean of a per-shard mean (uniform shards => exact)."""
+        return jax.lax.pmean(x, red_axes) if cp else x
 
     def flatten_t(x):  # [B, T, H, W, C] -> [(B T), H, W, C]
         return x.reshape((-1,) + x.shape[2:])
-
-    def recon_and_nll(gen_params, video, rng):
-        vae_vars = {"params": gen_params["vae"]}
-        moments = vae.apply(vae_vars, video, method=vae.encode)
-        if freeze_encoder:
-            moments = jax.lax.stop_gradient(moments)
-        z = gaussian_sample(moments, rng)
-        feats = vae.apply(vae_vars, z, method=vae.decode_features)
-        w_last = gen_params["vae"]["decoder"]["conv_out"]["kernel"]
-        b_last = gen_params["vae"]["decoder"]["conv_out"]["bias"]
-        recon = apply_causal_conv_out(w_last, b_last, feats)
-        return moments, feats, recon, (w_last, b_last)
 
     def nll_of(recon, video, gen_params, cfg):
         x = flatten_t(video)
@@ -145,54 +182,111 @@ def make_vae_train_step(vae, lpips, lpips_params, disc, *, use_3d_disc=False,
         nll = cfg.pixel_weight * rec + cfg.perceptual_weight * p
         logvar = gen_params["logvar"]
         nll = nll / jnp.exp(logvar) + logvar
-        return jnp.sum(nll) / nll.shape[0], rec.mean(), p.mean()
+        return pm(jnp.sum(nll) / nll.shape[0]), pm(rec.mean()), pm(p.mean())
+
+    def gen_loss_core(gen_params, disc_params, video, noise, cfg, disc_on):
+        """Per-shard generator loss; all scalars are global (replicated)."""
+        vae_vars = {"params": gen_params["vae"]}
+        moments = vae.apply(vae_vars, video, method=vae.encode,
+                            is_init=is_init)
+        if freeze_encoder:
+            moments = jax.lax.stop_gradient(moments)
+        mean, logvar_m = _split_moments(moments)
+        z = mean + jnp.exp(0.5 * logvar_m) * noise.astype(mean.dtype)
+        feats = vae.apply(vae_vars, z, method=vae.decode_features,
+                          is_init=is_init)
+        w_last = gen_params["vae"]["decoder"]["conv_out"]["kernel"]
+        b_last = gen_params["vae"]["decoder"]["conv_out"]["bias"]
+        recon = apply_causal_conv_out(w_last, b_last, feats)
+
+        nll, rec_m, p_m = nll_of(recon, video, gen_params, cfg)
+        kl_rows = gaussian_kl(moments)  # [B] per-sample sums over local frames
+        if cp:
+            kl_rows = jax.lax.psum(kl_rows, cp_axis)  # global posterior KL
+        kl = kl_rows.mean()
+        if cp and dp_axis:
+            kl = jax.lax.pmean(kl, dp_axis)
+
+        def disc_input(r):
+            if not use_3d_disc:
+                return flatten_t(r)
+            if cp:  # 3D disc sees the whole clip on every device
+                return jax.lax.all_gather(r, cp_axis, axis=1, tiled=True)
+            return r
+
+        logits_fake = disc.apply({"params": disc_params}, disc_input(recon))
+        g_loss = pm(-jnp.mean(logits_fake))
+
+        # adaptive weight: grads w.r.t. the last conv only. Each helper
+        # returns the SAME globally-normalized scalar the real losses use, so
+        # pmean of per-shard grads == the unsharded gradient.
+        feats_sg = jax.lax.stop_gradient(feats)
+
+        def nll_w(w):
+            r = apply_causal_conv_out(w, b_last, feats_sg)
+            return nll_of(r, video, gen_params, cfg)[0]
+
+        def g_w(w):
+            r = apply_causal_conv_out(w, b_last, feats_sg)
+            return pm(-jnp.mean(
+                disc.apply({"params": disc_params}, disc_input(r))))
+
+        def gnorm(f):
+            g = jax.grad(f)(w_last)
+            if cp:
+                g = jax.lax.pmean(g, red_axes)
+            return jnp.sqrt(jnp.sum(g.astype(jnp.float32) ** 2))
+
+        d_weight = jnp.where(
+            disc_on > 0,
+            jnp.clip(gnorm(nll_w) / (gnorm(g_w) + 1e-4), 0.0, 1e4),
+            0.0)
+        d_weight = jax.lax.stop_gradient(d_weight) * cfg.disc_weight
+
+        loss = nll + cfg.kl_weight * kl + d_weight * disc_on * g_loss
+        aux = {
+            "vae/nll_loss": nll, "vae/kl_loss": kl, "vae/rec_loss": rec_m,
+            "vae/perception_loss": p_m, "vae/g_loss": g_loss,
+            "vae/d_weight": d_weight, "vae/logvar": gen_params["logvar"],
+            "_recon": recon,
+        }
+        return loss, aux
+
+    def noise_like_latent(video, rng):
+        """Posterior noise drawn at the GLOBAL latent shape — identical values
+        sharded or monolithic (JAX PRNG is shape+key deterministic)."""
+        ds = vae.config.downsample_scale
+        b, t, h, w, _ = video.shape
+        t_lat = (t - 1) // ds + 1
+        shape = (b, t_lat, h // ds, w // ds, vae.config.latent_channels)
+        return jax.random.normal(rng, shape, vae.dtype)
 
     def step_fn(state: VAETrainState, video, rng):
         cfg = state.config
         rng = jax.random.fold_in(rng, state.step)
         disc_on = (state.step >= cfg.disc_start).astype(jnp.float32)
+        noise = noise_like_latent(video, rng)
 
         # ---------------- generator ----------------
         def gen_loss_fn(gen_params):
-            moments, feats, recon, (w_last, b_last) = recon_and_nll(
-                gen_params, video, rng)
-            nll, rec_m, p_m = nll_of(recon, video, gen_params, cfg)
-            kl = gaussian_kl(moments).mean()
+            if cp:
+                def body(gp, dprm, v, nz, don):
+                    with cp_context(cp_axis):
+                        return gen_loss_core(gp, dprm, v, nz, cfg, don)
 
-            disc_in = recon if use_3d_disc else flatten_t(recon)
-            logits_fake = disc.apply({"params": state.disc_params}, disc_in)
-            g_loss = -jnp.mean(logits_fake)
-
-            # adaptive weight: grads w.r.t. the last conv only
-            feats_sg = jax.lax.stop_gradient(feats)
-
-            def nll_w(w):
-                r = apply_causal_conv_out(w, b_last, feats_sg)
-                return nll_of(r, video, gen_params, cfg)[0]
-
-            def g_w(w):
-                r = apply_causal_conv_out(w, b_last, feats_sg)
-                d_in = r if use_3d_disc else flatten_t(r)
-                return -jnp.mean(disc.apply({"params": state.disc_params}, d_in))
-
-            def gnorm(f):
-                g = jax.grad(f)(w_last)
-                return jnp.sqrt(jnp.sum(g.astype(jnp.float32) ** 2))
-
-            d_weight = jnp.where(
-                disc_on > 0,
-                jnp.clip(gnorm(nll_w) / (gnorm(g_w) + 1e-4), 0.0, 1e4),
-                0.0)
-            d_weight = jax.lax.stop_gradient(d_weight) * cfg.disc_weight
-
-            loss = nll + cfg.kl_weight * kl + d_weight * disc_on * g_loss
-            aux = {
-                "vae/nll_loss": nll, "vae/kl_loss": kl, "vae/rec_loss": rec_m,
-                "vae/perception_loss": p_m, "vae/g_loss": g_loss,
-                "vae/d_weight": d_weight, "vae/logvar": gen_params["logvar"],
-                "_recon": recon,
-            }
-            return loss, aux
+                aux_specs = {k: P() for k in (
+                    "vae/nll_loss", "vae/kl_loss", "vae/rec_loss",
+                    "vae/perception_loss", "vae/g_loss", "vae/d_weight",
+                    "vae/logvar")}
+                aux_specs["_recon"] = vspec
+                return jax.shard_map(
+                    body, mesh=mesh,
+                    in_specs=(P(), P(), vspec, vspec, P()),
+                    out_specs=(P(), aux_specs),
+                    check_vma=False,
+                )(gen_params, state.disc_params, video, noise, disc_on)
+            return gen_loss_core(gen_params, state.disc_params, video, noise,
+                                 cfg, disc_on)
 
         (g_total, aux), g_grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
             state.gen_params)
@@ -202,27 +296,46 @@ def make_vae_train_step(vae, lpips, lpips_params, disc, *, use_3d_disc=False,
         gen_params = optax.apply_updates(state.gen_params, updates)
 
         # -------------- discriminator --------------
-        def disc_loss_fn(disc_params):
-            real = video if use_3d_disc else flatten_t(video)
-            fake = jax.lax.stop_gradient(
-                recon if use_3d_disc else flatten_t(recon))
+        def disc_loss_core(disc_params, video_, recon_):
+            def disc_input(r):
+                if not use_3d_disc:
+                    return flatten_t(r)
+                if cp:
+                    return jax.lax.all_gather(r, cp_axis, axis=1, tiled=True)
+                return r
+
+            real = disc_input(video_)
+            fake = jax.lax.stop_gradient(disc_input(recon_))
             lr_ = disc.apply({"params": disc_params}, real)
             lf_ = disc.apply({"params": disc_params}, fake)
-            d_loss = 0.5 * (
-                jnp.mean(jax.nn.relu(1.0 - lr_)) + jnp.mean(jax.nn.relu(1.0 + lf_)))
-            return disc_on * d_loss, (d_loss, lr_.mean(), lf_.mean())
+            d_loss = 0.5 * (pm(jnp.mean(jax.nn.relu(1.0 - lr_)))
+                            + pm(jnp.mean(jax.nn.relu(1.0 + lf_))))
+            return disc_on * d_loss, (d_loss, pm(lr_.mean()), pm(lf_.mean()))
+
+        def disc_loss_fn(disc_params):
+            if cp:
+                return jax.shard_map(
+                    disc_loss_core, mesh=mesh,
+                    in_specs=(P(), vspec, vspec),
+                    out_specs=(P(), (P(), P(), P())),
+                    check_vma=False,
+                )(disc_params, video, recon)
+            return disc_loss_core(disc_params, video, recon)
 
         (d_total, (d_loss, lr_m, lf_m)), d_grads = jax.value_and_grad(
             disc_loss_fn, has_aux=True)(state.disc_params)
-        d_updates, disc_opt_state = state.disc_tx.update(
-            d_grads, state.disc_opt_state, state.disc_params)
-        disc_params = optax.apply_updates(state.disc_params, d_updates)
 
         metrics = dict(aux)
         metrics.update({
             "vae/total_loss": g_total, "vae/disc_loss": d_loss,
             "vae/logits_real": lr_m, "vae/logits_fake": lf_m,
         })
+        if grads_only:
+            return g_grads, d_grads, metrics
+
+        d_updates, disc_opt_state = state.disc_tx.update(
+            d_grads, state.disc_opt_state, state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, d_updates)
         new_state = state.replace(
             step=state.step + 1,
             gen_params=gen_params, gen_opt_state=gen_opt_state,
@@ -230,4 +343,5 @@ def make_vae_train_step(vae, lpips, lpips_params, disc, *, use_3d_disc=False,
         )
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnames=("state",) if donate else ())
+    donate_names = ("state",) if donate and not grads_only else ()
+    return jax.jit(step_fn, donate_argnames=donate_names)

@@ -2,9 +2,14 @@
 # Two-stage causal-VAE training recipe (reference
 # `scripts/train_causal_video_vae.sh:19-89`):
 #   stage 1 — mixed image/video, 17 frames @ 256p, no context parallelism
-#   stage 2 — long-clip finetune (33+ frames); the reference uses CP size 2,
-#             here temporal context parallelism is the `cp_vae_apply` path
-#             and long clips stream through the chunked encoder.
+#   stage 2 — long-clip finetune; the reference uses CP size 2
+#             (`scripts/train_causal_video_vae.sh:53-57`), here `--cp 2`
+#             shards the time axis over 2 devices with per-conv halo
+#             exchange (ppermute) inside the jitted GAN step. CP clips use
+#             continuation (is_init=False) semantics, so num_frames must be
+#             divisible by 8*cp — 32 here vs the reference's 33 (its rank-0
+#             shard carries the odd lone first frame; uniform SPMD shards
+#             cannot, and the clip start still sees zero history).
 # Loss weights: kl 1e-12, pixel 10, lpips 1, disc 0.5, disc_start 250k.
 
 VIDEO_ANNO=annotation/video_text.jsonl
@@ -25,10 +30,11 @@ python tools/train_video_vae.py \
     --output_dir runs/vae_stage1 \
     --epochs 10 --steps_per_epoch 2000
 
-# ---- stage 2: 33-frame finetune from stage 1 ----
+# ---- stage 2: long-clip finetune from stage 1, context-parallel over time ----
 python tools/train_video_vae.py \
     --video_anno "$VIDEO_ANNO" \
-    --resolution 256 --num_frames 33 \
+    --resolution 256 --num_frames 32 \
+    --cp 2 \
     --batch_size 1 \
     --learning_rate 5e-5 \
     --kl_weight 1e-12 --pixel_weight 10.0 --perceptual_weight 1.0 \

@@ -34,6 +34,16 @@ def parse_args():
     p.add_argument("--disc_start", type=int, default=250_000)
     p.add_argument("--use_3d_disc", action="store_true")
     p.add_argument("--freeze_encoder", action="store_true")
+    p.add_argument("--cp", type=int, default=1,
+                   help="context-parallel degree: shard the TIME axis over "
+                        "this many devices for long-clip training (the "
+                        "reference's stage-2 CP, "
+                        "scripts/train_causal_video_vae.sh:53-57). Requires "
+                        "num_frames %% (8*cp) == 0; clips use continuation "
+                        "(is_init=False) semantics")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel degree when --cp > 1 (batch axis); "
+                        "dp*cp must equal the device count used")
     p.add_argument("--pretrained_vae", default=None)
     p.add_argument("--output_dir", default="runs/vae")
     p.add_argument("--save_ckpt_freq", type=int, default=1)
@@ -106,9 +116,27 @@ def main():
     if start_step:
         print(f"resumed from step {start_step}", file=sys.stderr)
 
-    step_fn = make_vae_train_step(
-        vae, lpips, lpips_params, disc, use_3d_disc=args.use_3d_disc,
-        freeze_encoder=args.freeze_encoder)
+    if args.cp > 1:
+        if args.num_frames % (8 * args.cp) != 0:
+            sys.exit(f"--cp {args.cp} requires --num_frames divisible by "
+                     f"{8 * args.cp} (uniform continuation shards); got "
+                     f"{args.num_frames}")
+        ndev = args.dp * args.cp
+        mesh = jax.sharding.Mesh(
+            np.asarray(jax.devices()[:ndev]).reshape(args.dp, args.cp),
+            ("dp", "cp"))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        video_sharding = NamedSharding(
+            mesh, P("dp" if args.dp > 1 else None, "cp"))
+        step_fn = make_vae_train_step(
+            vae, lpips, lpips_params, disc, use_3d_disc=args.use_3d_disc,
+            freeze_encoder=args.freeze_encoder, is_init=False,
+            mesh=mesh, cp_axis="cp", dp_axis="dp" if args.dp > 1 else None)
+    else:
+        video_sharding = None
+        step_fn = make_vae_train_step(
+            vae, lpips, lpips_params, disc, use_3d_disc=args.use_3d_disc,
+            freeze_encoder=args.freeze_encoder)
 
     logger = MetricLogger(
         log_file=os.path.join(args.output_dir, "log.txt"),
@@ -120,6 +148,8 @@ def main():
         for _ in range(args.steps_per_epoch):
             batch = next(loader)
             video = jnp.asarray(batch["video"])
+            if video_sharding is not None:
+                video = jax.device_put(video, video_sharding)
             state, metrics = step_fn(state, video, rng)
             loss_val = float(metrics["vae/total_loss"])
             if not (loss_val == loss_val and abs(loss_val) != float("inf")):
