@@ -115,6 +115,62 @@ def test_sharded_train_step(use_temporal_pyramid):
     assert max(jax.tree.leaves(diff)) > 0
 
 
+@pytest.mark.slow
+def test_fsdp_sharded_matches_replicated():
+    """FSDP in its ACTUALLY-SHARDED regime: with ``min_shard_dim`` lowered the
+    tiny model's 128-dim params shard over fsdp=8 (>50% of parameter bytes),
+    and the resulting step must equal the fully-replicated step — loss AND
+    updated parameters (catches spec mismatches, optimizer-state sharding and
+    EMA-on-sharded-tree bugs that replicated-only runs cannot see)."""
+    mesh = make_mesh(MeshConfig(dp=1, fsdp=8, sp=1))
+    sched = PyramidFlowMatchEulerDiscreteScheduler()
+    dit = PyramidFluxTransformer(config=TINY, mesh=mesh)
+
+    b = 8
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(0), (b, 2, 16, 16, 4)),
+        "text_emb": jax.random.normal(jax.random.PRNGKey(1), (b, 8, 32)),
+        "text_mask": jnp.ones((b, 8), bool),
+        "pooled": jax.random.normal(jax.random.PRNGKey(2), (b, 24)),
+        "null_text_emb": jnp.zeros((b, 8, 32)),
+        "null_pooled": jnp.zeros((b, 24)),
+    }
+    params = dit.init(
+        jax.random.PRNGKey(3), jnp.zeros((b, 16, 16)), jnp.zeros((b, 16, 3)),
+        jnp.zeros((b, 16), jnp.int32), batch["text_emb"], batch["text_mask"],
+        batch["pooled"], jnp.zeros((b,)))
+
+    losses, trees = [], []
+    for min_dim in (64, 1 << 30):  # sharded vs fully-replicated
+        stats = {}
+        with jax.set_mesh(mesh):
+            p = jax.device_put(params, param_sharding(
+                mesh, params, min_shard_dim=min_dim, stats_out=stats))
+            if min_dim == 64:
+                assert stats["sharded_fraction"] > 0.5, stats
+            else:
+                assert stats["sharded_fraction"] == 0.0, stats
+            bsh = {
+                k: jax.device_put(v, NamedSharding(mesh, batch_spec(v.ndim - 1)))
+                for k, v in batch.items()
+            }
+            state = create_train_state(p, TrainConfig(learning_rate=1e-3))
+            step = make_train_step(dit, sched, use_temporal_pyramid=False,
+                                   donate=False)
+            state2, metrics = step(state, bsh, jax.random.PRNGKey(4),
+                                   num_units_per_stage=(1, 1, 1))
+        losses.append(float(metrics["train/loss"]))
+        trees.append(jax.device_get(state2.params))
+
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-4)
+    for (path, a), b_ in zip(
+            jax.tree_util.tree_flatten_with_path(trees[0])[0],
+            jax.tree.leaves(trees[1])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-3,
+            err_msg="/".join(str(p) for p in path))
+
+
 def test_anomaly_skip():
     params = {"w": jnp.ones((4, 4))}
     state = create_train_state(params, TrainConfig(anomaly_loss_threshold=2.0))

@@ -87,6 +87,9 @@ def parse_args():
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--fsdp", type=int, default=0, help="0 = all remaining")
     p.add_argument("--sp", type=int, default=1)
+    p.add_argument("--fsdp_min_shard_dim", type=int, default=1024,
+                   help="only shard params with a divisible dim >= this "
+                        "(lower it for small finetunes to actually shard)")
     # checkpointing / logging
     p.add_argument("--output_dir", default="runs/dit")
     p.add_argument("--save_ckpt_freq", type=int, default=1, help="epochs")
@@ -191,7 +194,15 @@ def main():
             jnp.zeros((b, cfg.pooled_projection_dim)), jnp.zeros((b,)))
 
     with jax.set_mesh(mesh):
-        params = jax.device_put(params, param_sharding(mesh, params))
+        shard_stats = {}
+        params = jax.device_put(params, param_sharding(
+            mesh, params, min_shard_dim=args.fsdp_min_shard_dim,
+            stats_out=shard_stats))
+        if fsdp > 1 and shard_stats.get("sharded_fraction", 1.0) < 0.5:
+            print("WARNING: <50% of parameter bytes are fsdp-sharded — "
+                  "ZeRO memory savings are mostly inactive; consider "
+                  f"--fsdp_min_shard_dim below {args.fsdp_min_shard_dim}",
+                  file=sys.stderr)
         lr = cosine_schedule(args.learning_rate, 1e-6, args.steps_per_epoch,
                              args.epochs, args.warmup_steps)
         state = create_train_state(params, TrainConfig(
