@@ -33,9 +33,12 @@ L=12.3k / the 768p final-unit layout):
   visible tiles skip the [bq, bk] compare+select entirely (-13% at the
   bench layout, where the 3840-token current clip sees everything), and the
   in-kernel min/max reduction the old skip test needed disappears.
-* **Fused softmax denominator.** v is padded to 128 lanes with a ones column
-  at index d: the pv matmul then computes ``l = sum(p)`` in MXU lanes that a
-  d=64 output would waste, replacing a [bq, bk] VPU reduce (-11%).
+* **Fused softmax denominator.** v is padded to a multiple of 128 lanes with
+  a ones column in the LAST lane (index ``vw-1``, 127 for d<128): the pv
+  matmul then computes ``l = sum(p)`` in MXU lanes that a d=64 output would
+  waste, replacing a [bq, bk] VPU reduce (-11%). For d >= 128 the pad width
+  grows to the next 128 multiple (e.g. d=128 -> 256 lanes) — same layout,
+  more MXU passes.
 
 On CPU backends the kernels run in interpreter mode so the same code path is
 unit-testable without a TPU.
@@ -77,9 +80,12 @@ def _tile_types(time_q, time_kv, bq, bk, causal: bool):
 
     Pure data (tiny): computed inside the surrounding jit from the padded
     time ids, prefetched into SMEM by the kernel. Correctness notes:
-    * a pure-pad q tile classifies FULL vs pure-pad k tiles (qmin=INVALID);
-      the unmasked softmax then produces garbage only on pad rows, which the
-      wrapper's caller slices off (same contract as before);
+    * the skip test uses the q tile's max over VALID rows only (INVALID ->
+      -1): a pure-pad q tile skips every k tile (its rows are garbage the
+      wrapper's caller slices off; the forward writes o=0 / lse=3e38 for
+      rows with no surviving key, and the backward's p underflows to 0), and
+      a *mixed* valid+pad q tile still skips k tiles its valid rows cannot
+      see — pad rows' INVALID (2^30) must not disable the causal skip;
     * any tile with a *mix* of valid and INVALID keys has kmax=INVALID >
       qmin, so it is never FULL — invalid keys only ever flow through the
       masked branch.
@@ -88,10 +94,11 @@ def _tile_types(time_q, time_kv, bq, bk, causal: bool):
     lk = time_kv.shape[1]
     tq = time_q.reshape(b, lq // bq, bq)
     tk = time_kv.reshape(b, lk // bk, bk)
-    qmin, qmax = tq.min(-1), tq.max(-1)
+    qmin = tq.min(-1)
+    qmax_valid = jnp.where(tq == INVALID_TIME, -1, tq).max(-1)
     kmin, kmax = tk.min(-1), tk.max(-1)
     if causal:
-        skip = kmin[:, None, :] > qmax[:, :, None]
+        skip = kmin[:, None, :] > qmax_valid[:, :, None]
         full = kmax[:, None, :] <= qmin[:, :, None]
     else:
         # non-causal tile types depend on k only — but the kernel indexes
@@ -102,8 +109,9 @@ def _tile_types(time_q, time_kv, bq, bk, causal: bool):
         # Caught by the on-chip bench selfcheck — VERDICT r1 #4's exact
         # feared failure mode.
         nq_t, nk_t = lq // bq, lk // bk
-        skip = jnp.broadcast_to(
-            kmin[:, None, :] == INVALID_TIME, (b, nq_t, nk_t))
+        # pure-pad q tiles (qmax_valid == -1) also skip everything
+        skip = ((kmin[:, None, :] == INVALID_TIME)
+                | (qmax_valid[:, :, None] < 0))
         full = jnp.broadcast_to(
             kmax[:, None, :] != INVALID_TIME, (b, nq_t, nk_t))
     return jnp.where(skip, TILE_SKIP,
@@ -124,15 +132,15 @@ def _fwd_kernel(types_ref, tq_ref, tk_ref, q_ref, k_ref, v_ref, o_ref,
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     def _update(s):
-        # online softmax in the log2 domain. acc has NUM_LANES lanes: [:d] is
-        # the weighted value sum, lane d is the running denominator l (the
-        # ones column in v), lanes d+1.. are zero.
+        # online softmax in the log2 domain. acc has vw (= padded v width)
+        # lanes: [:d] is the weighted value sum, the LAST lane (vw-1) is the
+        # running denominator l (the ones column in v), lanes d..vw-2 are 0.
         m_prev = m_scr[...]  # [bq, 128]
         m_curr = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp2(m_prev - m_next)
         p = jnp.exp2(s - m_next[:, :1])
-        v = v_ref[0, 0]  # [bk, 128] (ones column at d)
+        v = v_ref[0, 0]  # [bk, vw] (ones column in the last lane)
         pv = jax.lax.dot(p.astype(v.dtype), v,
                          preferred_element_type=jnp.float32)
         m_scr[...] = m_next
@@ -166,7 +174,7 @@ def _fwd_kernel(types_ref, tq_ref, tk_ref, q_ref, k_ref, v_ref, o_ref,
     @pl.when(kv_idx == num_k_blocks - 1)
     def _finalize():
         acc = acc_scr[...]
-        l = acc[:, NUM_LANES - 1:]  # ones column lives in the LAST lane
+        l = acc[:, acc.shape[-1] - 1:]  # ones column lives in the LAST lane
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o_ref[0, 0] = (acc[:, :o_ref.shape[-1]] * l_inv).astype(o_ref.dtype)
         m = m_scr[...]
@@ -204,7 +212,7 @@ def _fwd_kernel_bounded(types_ref, tq_ref, tk_ref, mb_ref, q_ref, k_ref,
     def _update(s):
         mb = mb_ref[0, 0, 0].reshape(-1, 1)  # [bq, 1] log2 score bound
         p = jnp.exp2(s - mb)
-        v = v_ref[0, 0]  # [bk, 128] (ones column at d)
+        v = v_ref[0, 0]  # [bk, vw] (ones column in the last lane)
         acc_scr[...] += jax.lax.dot(p.astype(v.dtype), v,
                                     preferred_element_type=jnp.float32)
 
@@ -229,7 +237,7 @@ def _fwd_kernel_bounded(types_ref, tq_ref, tk_ref, mb_ref, q_ref, k_ref,
     @pl.when(kv_idx == num_k_blocks - 1)
     def _finalize():
         acc = acc_scr[...]
-        l = acc[:, NUM_LANES - 1:]
+        l = acc[:, acc.shape[-1] - 1:]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o_ref[0, 0] = (acc[:, :o_ref.shape[-1]] * l_inv).astype(o_ref.dtype)
         mb = mb_ref[0, 0, 0].reshape(-1, 1)
@@ -239,52 +247,66 @@ def _fwd_kernel_bounded(types_ref, tq_ref, tk_ref, mb_ref, q_ref, k_ref,
         lse_ref[0, 0, 0] = lse[:, 0].astype(jnp.float32)
 
 
-def _fwd_bounded(q, k, v, time_q, time_kv, causal, sm_scale, block_q, block_k):
+def _ones_column_pad(v):
+    """Pad v's lanes to the next 128 multiple that also fits a trailing ones
+    column: the pv matmul then computes the softmax denominator ``l`` in the
+    LAST lane (otherwise-wasted MXU lanes for d<128)."""
+    b, h, lk, d = v.shape
+    vw = -(-(d + 1) // NUM_LANES) * NUM_LANES
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, vw - 1 - d)))
+    return jnp.concatenate([vp, jnp.ones((b, h, lk, 1), v.dtype)], axis=-1)
+
+
+def _run_fwd(kernel, q, k, v, time_q, time_kv, causal, sm_scale,
+             block_q, block_k, extra_rows=(), has_m_scratch=True):
+    """Shared pallas_call plumbing for BOTH forward kernels.
+
+    The only variant differences: ``extra_rows`` — extra [B, H, 1, Lq]
+    per-q-row inputs (the bounded kernel's score-bound array), placed right
+    after the time ids — and ``has_m_scratch`` (the classic kernel carries a
+    running-max scratch; bounded does not). Everything else (grid, tile
+    types, ones-column v pad, out shapes, scratch sizing) is identical, so
+    it lives here exactly once.
+    """
     b, h, lq, d = q.shape
     lk = k.shape[2]
     nq, nk = lq // block_q, lk // block_k
 
     types = _tile_types(time_q, time_kv, block_q, block_k, causal)
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, NUM_LANES - 1 - d)))
-    vp = jnp.concatenate([vp, jnp.ones((b, h, lk, 1), v.dtype)], axis=-1)
+    vp = _ones_column_pad(v)
+    vw = vp.shape[-1]
 
-    # per-row log2-domain score bound: |q_row| * max|k| * scale * log2(e)
-    # (+1 margin for fp error in the norms/matmul). Pad keys are zeros, so
-    # they never raise the bound; pad-q rows get bound=1, their garbage
-    # outputs are sliced off by the caller (same contract as the main path).
-    qn = jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1))
-    kn = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1))
-    kmax = jnp.max(kn, axis=-1, keepdims=True)
-    # [B, H, 1, Lq]: the singleton 3rd dim satisfies Mosaic's block-shape
-    # rule (last two block dims must divide (8, 128) or equal the array's)
-    mb = (qn * kmax * jnp.float32(sm_scale * LOG2E) + 1.0)[:, :, None, :]
-
-    grid = (b, h, nq, nk)
+    # [B, H, 1, Lq] rows: the singleton 3rd dim satisfies Mosaic's
+    # block-shape rule (last two block dims must divide (8, 128) or equal
+    # the array's)
+    row_spec = pl.BlockSpec((1, 1, 1, block_q),
+                            lambda b, h, i, j, types: (b, h, 0, i))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=grid,
+        grid=(b, h, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, types: (b, 0, i)),
             pl.BlockSpec((1, 1, block_k), lambda b, h, i, j, types: (b, 0, j)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j, types: (b, h, 0, i)),
+            *[row_spec] * len(extra_rows),
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j, types: (b, h, i, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, types: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, block_k, NUM_LANES),
+            pl.BlockSpec((1, 1, block_k, vw),
                          lambda b, h, i, j, types: (b, h, j, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j, types: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j, types: (b, h, 0, i)),
+            row_spec,
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
-        ],
+        scratch_shapes=(
+            # classic kernel: [running-max m, acc]; bounded: [acc]
+            ([pltpu.VMEM((block_q, NUM_LANES), jnp.float32)]
+             if has_m_scratch else [])
+            + [pltpu.VMEM((block_q, vw), jnp.float32)]
+        ),
     )
     o, lse = pl.pallas_call(
-        functools.partial(
-            _fwd_kernel_bounded, causal=causal, sm_scale=sm_scale,
-            num_k_blocks=nk
-        ),
+        functools.partial(kernel, causal=causal, sm_scale=sm_scale,
+                          num_k_blocks=nk),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
@@ -294,8 +316,48 @@ def _fwd_bounded(q, k, v, time_q, time_kv, causal, sm_scale, block_q, block_k):
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(types, time_q[:, None], time_kv[:, None], mb, q, k, vp)
+    )(types, time_q[:, None], time_kv[:, None], *extra_rows, q, k, vp)
     return o, lse[:, :, 0]
+
+
+def _fwd_bounded(q, k, v, time_q, time_kv, causal, sm_scale, block_q, block_k):
+    # per-row log2-domain score bound: |q_row| * max|k| * scale * log2(e)
+    # (+1 margin for fp error in the norms/matmul). Pad keys are zeros, so
+    # they never raise the bound; pad-q rows get bound=1, their garbage
+    # outputs are sliced off by the caller (same contract as the main path).
+    qn = jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1))
+    kn = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1))
+    kmax = jnp.max(kn, axis=-1, keepdims=True)
+    mb = (qn * kmax * jnp.float32(sm_scale * LOG2E) + 1.0)[:, :, None, :]
+    return _run_fwd(_fwd_kernel_bounded, q, k, v, time_q, time_kv, causal,
+                    sm_scale, block_q, block_k, extra_rows=(mb,),
+                    has_m_scratch=False)
+
+
+def bounded_softmax_overshoot(q, k, time_q, time_kv=None, *, causal=True,
+                              sm_scale=None):
+    """Debug probe: max over valid rows of ``bound - true_max_score`` in
+    log2 units. Exactness of the bounded kernel needs overshoot << ~120
+    (bf16/fp32 exponent range); qk-normed heads sit in the low tens. If
+    fine-tuning pushes qk-norm gains far enough that this grows toward
+    ~100, set ``PF_BOUNDED_SOFTMAX=0`` for that run (see
+    :func:`_resolve_bounded`). Cheap enough to log periodically from a
+    training debug hook; not part of the hot path."""
+    if time_kv is None:
+        time_kv = time_q
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    qn = jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1))
+    kn = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1))
+    mb = qn * jnp.max(kn, axis=-1, keepdims=True) * (sm_scale * LOG2E) + 1.0
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * (sm_scale * LOG2E)
+    vis = (time_kv != INVALID_TIME)[:, None, None, :]
+    if causal:
+        vis = vis & (time_kv[:, None, None, :] <= time_q[:, None, :, None])
+    smax = jnp.max(jnp.where(vis, s, -jnp.inf), axis=-1)
+    valid_q = (time_q != INVALID_TIME)[:, None, :]
+    return jnp.max(jnp.where(valid_q, mb - smax, -jnp.inf))
 
 
 def _resolve_bounded(bounded):
@@ -303,7 +365,10 @@ def _resolve_bounded(bounded):
     envelope (see _fwd_bounded): callers that normalize q/k (both DiT
     variants) request it with bounded=True; the public default (None) is
     the classic online-softmax kernel, so silent underflow cannot hit
-    arbitrary users. PF_BOUNDED_SOFTMAX=1/0 force-overrides for A/B."""
+    arbitrary users. PF_BOUNDED_SOFTMAX=1/0 force-overrides for A/B.
+    Training note: ``bounded_softmax_overshoot`` measures the live bound
+    slack; recommend PF_BOUNDED_SOFTMAX=0 when aggressively fine-tuning
+    qk-norm gains (slack drifting toward ~100 log2 units)."""
     import os
     env = os.environ.get("PF_BOUNDED_SOFTMAX")
     if env == "1":
@@ -318,53 +383,8 @@ def _fwd(q, k, v, time_q, time_kv, causal, sm_scale, block_q, block_k,
     if bounded:
         return _fwd_bounded(q, k, v, time_q, time_kv, causal, sm_scale,
                             block_q, block_k)
-    b, h, lq, d = q.shape
-    lk = k.shape[2]
-    nq, nk = lq // block_q, lk // block_k
-
-    types = _tile_types(time_q, time_kv, block_q, block_k, causal)
-    # ones column in the LAST lane: pv then computes the softmax denominator
-    # in MXU lanes a d<128 output would waste (VPU sum-reduce removed)
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, NUM_LANES - 1 - d)))
-    vp = jnp.concatenate(
-        [vp, jnp.ones((b, h, lk, 1), v.dtype)], axis=-1)
-
-    grid = (b, h, nq, nk)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, types: (b, 0, i)),
-            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j, types: (b, 0, j)),
-            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j, types: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, types: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, block_k, NUM_LANES),
-                         lambda b, h, i, j, types: (b, h, j, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j, types: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j, types: (b, h, 0, i)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
-            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
-        ],
-    )
-    o, lse = pl.pallas_call(
-        functools.partial(
-            _fwd_kernel, causal=causal, sm_scale=sm_scale, num_k_blocks=nk
-        ),
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, 1, lq), jnp.float32),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        interpret=_interpret(),
-    )(types, time_q[:, None], time_kv[:, None], q, k, vp)
-    return o, lse[:, :, 0]
+    return _run_fwd(_fwd_kernel, q, k, v, time_q, time_kv, causal, sm_scale,
+                    block_q, block_k)
 
 
 # ============================================================= backward
@@ -392,8 +412,13 @@ def _bwd_dkv_kernel(types_ref, tq_ref, tk_ref, q_ref, k_ref, v_ref, do_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale
-        # p = exp(s - lse); fully-masked/pad rows have lse=3e38 -> p = 0, so
-        # the FULL branch is exact even for pad queries
+        # p = exp(s - lse). Pad-query rows can have NONZERO p here (under
+        # causal a tq=INVALID row sees every key, so its lse is finite);
+        # correctness relies on pad rows carrying ZERO upstream gradient —
+        # do and delta are 0 there because the caller's loss never reads pad
+        # outputs (wrapper-padded rows are sliced off; in-budget INVALID rows
+        # are masked out of the loss) — so their p contributes p * 0 to every
+        # grad. Rows the forward zeroed via lse=3e38 additionally get p = 0.
         p = jnp.exp(s - lse[:, :1])
         if masked:
             tq = tq_ref[0, 0].reshape(-1, 1)
@@ -628,9 +653,8 @@ def flash_attention(
         time_kv = time_q
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
-    assert q.shape[-1] < NUM_LANES, (
-        f"head_dim {q.shape[-1]} >= {NUM_LANES}: the fused ones-column "
-        f"softmax denominator needs d < {NUM_LANES}")
+    # any head_dim works: the ones-column denominator pads v to the next
+    # 128-lane multiple that fits it (d=64 -> 128 lanes, d=128 -> 256)
 
     lq, lk = q.shape[2], k.shape[2]
 

@@ -39,6 +39,55 @@ def _up2_nearest(x):
     return jnp.moveaxis(nearest_up_2x(jnp.moveaxis(x, -1, -3)), -3, -1)
 
 
+def _device_hbm_gb() -> float:
+    """Per-chip HBM capacity in GB (``memory_stats`` when the backend
+    exposes it; 16 GB v5e assumed otherwise — the conservative floor)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        if limit:
+            return limit / 1e9
+    except Exception:
+        pass
+    return 16.0
+
+
+def decode_settings(save_memory: bool, hbm_gb: float) -> dict:
+    """Pick VAE-decode tiling from the chip's HBM capacity (VERDICT r2 #9).
+
+    The measured v5e-16GB sweet spots are the floor; a big-HBM chip (v5p
+    95 GB — the BASELINE hardware) skips the memory dodges entirely:
+
+    * 16 GB + save_memory: 384px tiles / 1-8 overlap / window 2 — measured
+      optimum that coexists with the resident 5.8 GB DiT (512px tiles + w2
+      decode 7% faster VAE-alone but OOM with the DiT resident; window 1,
+      the reference's dodge at :1232-1236, costs 4% for nothing). Untiled
+      whole-frame windows are ~7x a 384px tile, so untiled falls back to
+      window 1, and frames beyond a 96x96 latent (768x768 px) must tile.
+    * >=48 GB: 512px tiles, window 2 everywhere, and whole frames up to a
+      192x192 latent (1536px) decode untiled — the overlap recompute and
+      per-tile dispatch chain disappear at the sizes that OOM a v5e.
+
+    Pure function of (save_memory, hbm_gb) for unit-testing with mocked
+    capacities.
+    """
+    big = hbm_gb >= 48.0
+    if not save_memory:
+        return {"tile": 512, "overlap": 0.25, "window": 2,
+                "untiled_window": 2,
+                "untiled_max_latent": 192 if big else 96}
+    if big:
+        return {"tile": 512, "overlap": 0.125, "window": 2,
+                "untiled_window": 2, "untiled_max_latent": 192}
+    # v5e 16 GB floor: the reference tiles at 256px with 1/4 overlap under
+    # save_memory because its DiT is offloaded to host RAM on consumer GPUs;
+    # on TPU the DiT stays resident — 384px tiles with 1/8 overlap are the
+    # sweet spot that coexists with it (at 768p: 1.2x redundancy vs 1.87x
+    # for the reference settings; the 48px blend band still hides seams).
+    return {"tile": 384, "overlap": 0.125, "window": 2,
+            "untiled_window": 1, "untiled_max_latent": 96}
+
+
 class PyramidFlowPipeline:
     """Inference runner: AR unit loop -> per-stage jitted denoise cascades ->
     causal VAE decode.
@@ -192,13 +241,20 @@ class PyramidFlowPipeline:
         return jnp.concatenate([first, rest], axis=1)
 
     def _pack_cond(self, clips, *, budget: int):
-        """Patchify+concat conditioning clips, left-pad to ``budget`` tokens,
-        CFG-double — one compiled program per history shape bucket."""
+        """Patchify+concat conditioning clips, RIGHT-pad to ``budget`` tokens,
+        CFG-double — one compiled program per history shape bucket.
+
+        Pad sits BETWEEN cond and the current clip (not in front): a front
+        pad poisons the first k-tiles of every row (mixed INVALID+valid ->
+        MASKED branch) *and* the q-tiles it lands in. Measured tile-type
+        histogram over all 48 (unit, stage) 768p layouts: front pad = 757
+        MASKED / 399 FULL / 251 SKIP, this layout = 498 / 531 / 378 —
+        ~15%% less effective tile compute."""
         tokens = jnp.concatenate(
             [patchify(c.astype(self.dtype)) for c in clips], axis=1)
         pad = budget - tokens.shape[1]
         if pad:
-            tokens = jnp.pad(tokens, ((0, 0), (pad, 0), (0, 0)))
+            tokens = jnp.pad(tokens, ((0, 0), (0, pad), (0, 0)))
         return jnp.concatenate([tokens, tokens], axis=0)
 
     # ----------------------------------------------------- denoise (jitted)
@@ -366,10 +422,14 @@ class PyramidFlowPipeline:
             assert lc <= budget, (lc, budget)
             pad = budget - lc
             if pad:
+                # pad BETWEEN cond and current (see _pack_cond: fewer
+                # MASKED tiles than a front pad)
                 positions = np.concatenate(
-                    [np.zeros((pad, 3), np.float32), positions], axis=0)
+                    [positions[:lc], np.zeros((pad, 3), np.float32),
+                     positions[lc:]], axis=0)
                 time_ids = np.concatenate(
-                    [np.full((pad,), INVALID_TIME, np.int32), time_ids], axis=0)
+                    [time_ids[:lc], np.full((pad,), INVALID_TIME, np.int32),
+                     time_ids[lc:]], axis=0)
 
             cond_tokens = (cond_tokens_per_stage[i_s]
                            if cond_tokens_per_stage is not None else None)
@@ -588,34 +648,17 @@ class PyramidFlowPipeline:
 
         assert self.vae is not None, "pipeline built without a VAE"
         z = self.denormalize_latent(latents).astype(jnp.float32)
-        # window=2 even under save_memory: with 384px tiles the per-window
-        # peak tensor is ~0.4 GB, so the reference's window-1 memory dodge
-        # (:1232-1236) costs speed for nothing on TPU — measured 33.0s ->
-        # 31.8s for a 5s 768p decode on v5e. (512px tiles + w2 gave 30.3s
-        # VAE-alone but OOMs once the 5.8 GB DiT is resident.)
-        window = 2
-        # the reference tiles at 256px with 1/4 overlap under save_memory
-        # because its DiT is offloaded to host RAM on consumer GPUs; on TPU
-        # the DiT stays resident — 384px tiles with 1/8 overlap are the
-        # sweet spot that coexists with it. At 768p this tiles a 96x160
-        # latent with 1.2x redundancy vs 1.87x for the reference settings;
-        # the 48px blend band still hides seams.
-        tile, overlap = (384, 0.125) if save_memory else (512, 0.25)
-        # Tile only when a whole frame would blow HBM: up to ~96x96 latent
-        # (768x768 pixels) the streaming decode fits comfortably in 16 GB —
-        # untiled avoids the overlap recompute and the per-tile dispatch
-        # chain (the reference always tiles because consumer GPUs are small).
-        if z.shape[2] * z.shape[3] > 96 * 96:
+        s = decode_settings(save_memory, _device_hbm_gb())
+        # Tile only when a whole frame would blow HBM — untiled avoids the
+        # overlap recompute and the per-tile dispatch chain (the reference
+        # always tiles because consumer GPUs are small).
+        if z.shape[2] * z.shape[3] > s["untiled_max_latent"] ** 2:
             img = tiled_decode(self.vae, self.vae_params, z,
-                               tile_sample_min_size=tile,
-                               temporal_chunk=True, window_size=window,
-                               overlap_factor=overlap)
+                               tile_sample_min_size=s["tile"],
+                               temporal_chunk=True, window_size=s["window"],
+                               overlap_factor=s["overlap"])
         else:
-            # UNTILED whole-frame windows are ~7x larger than a 384px tile:
-            # window 1 under save_memory (reference :1232-1236) halves the
-            # per-window activation peak, which must coexist with the
-            # resident DiT params on one chip
             img = chunk_decode(self.vae, self.vae_params, z,
-                               window_size=1 if save_memory else window)
+                               window_size=s["untiled_window"])
         img = jnp.clip(img * 127.5 + 127.5, 0, 255).astype(jnp.uint8)
         return img

@@ -159,8 +159,27 @@ def test_bounded_softmax_large_scale_scores(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
-def test_head_dim_128_raises_clearly():
-    q = jnp.zeros((1, 1, 128, 128))
-    t = jnp.zeros((1, 128), jnp.int32)
-    with pytest.raises(AssertionError, match="head_dim"):
-        flash_attention(q, q, q, t)
+@pytest.mark.parametrize("bounded", [False, True])
+def test_head_dim_128(bounded):
+    # d=128 needs the v pad to grow to 256 lanes for the ones-column
+    # denominator; verify both kernels stay exact there
+    q, k, v, t = make_inputs(jax.random.PRNGKey(5), l=256, d=128)
+    out = flash_attention(q, k, v, t, causal=True, bounded=bounded)
+    ref = attention_reference(q, k, v, t, causal=True)
+    valid = np.asarray(t[0]) != int(INVALID_TIME)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :, valid], np.asarray(ref)[:, :, valid], atol=2e-5
+    )
+
+
+def test_bounded_overshoot_probe():
+    """The debug probe reports small slack for qk-norm-scale inputs and
+    -inf-free finite values; rows of pad are excluded."""
+    from pyramid_flow_tpu.ops.flash_attention import bounded_softmax_overshoot
+
+    q, k, v, t = make_inputs(jax.random.PRNGKey(6))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True) * 8.0  # qk-normed-ish
+    k = k / jnp.linalg.norm(k, axis=-1, keepdims=True) * 8.0
+    over = float(bounded_softmax_overshoot(q, k, t, causal=True))
+    assert np.isfinite(over)
+    assert 0.0 < over < 40.0  # Cauchy-Schwarz slack, far from the 120 cliff

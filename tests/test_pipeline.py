@@ -216,3 +216,23 @@ def test_generate_batched_prompts(pipeline):
     # the two rows saw different prompts -> different videos
     a, bb = np.asarray(out[0]), np.asarray(out[1])
     assert np.abs(a - bb).max() > 1e-4
+
+
+def test_decode_settings_capacity_derived():
+    """VERDICT r2 #9: decode tiling derives from HBM capacity — v5e 16 GB
+    keeps the measured memory-safe floor, a v5p-class chip (95 GB) gets
+    bigger tiles, window-2 untiled decode, and a 4x larger untiled area."""
+    from pyramid_flow_tpu.pipeline.pyramid_pipeline import decode_settings
+
+    v5e = decode_settings(save_memory=True, hbm_gb=16.0)
+    assert v5e == {"tile": 384, "overlap": 0.125, "window": 2,
+                   "untiled_window": 1, "untiled_max_latent": 96}
+
+    v5p = decode_settings(save_memory=True, hbm_gb=95.0)
+    assert v5p["tile"] == 512 and v5p["untiled_window"] == 2
+    assert v5p["untiled_max_latent"] == 192  # 768p frames decode untiled
+
+    # save_memory=False never uses the window-1 dodge on any chip
+    for gb in (16.0, 95.0):
+        s = decode_settings(save_memory=False, hbm_gb=gb)
+        assert s["untiled_window"] == 2 and s["tile"] == 512
