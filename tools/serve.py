@@ -71,6 +71,23 @@ def build_pipeline(args, variant=None):
     from pyramid_flow_tpu.pipeline.pyramid_pipeline import PyramidFlowPipeline
     from pyramid_flow_tpu.utils.checkpoint import load_pretrained_components
 
+    # HBM-bounded cache (evict BEFORE loading the new weights): on a 16 GB
+    # chip two resident ~5.8 GB DiT variants OOM mid-request, so other
+    # variants are dropped unless there is headroom for this one plus the
+    # serving working set (text encoder + activations).
+    if PIPELINES:
+        try:
+            import jax
+            stats = jax.local_devices()[0].memory_stats() or {}
+            free = stats.get("bytes_limit", 16e9) - stats.get("bytes_in_use", 0)
+        except Exception:
+            free = 0.0
+        if free < 8e9:
+            evicted = sorted(PIPELINES)
+            PIPELINES.clear()  # params freed once in-flight requests release
+            print(f"serve: evicted variants {evicted} to fit '{variant}' "
+                  f"(free HBM {free/1e9:.1f} GB)", file=sys.stderr)
+
     comps = load_pretrained_components(args.model_path, variant,
                                        args.model_name)
     dtype = jnp.bfloat16
