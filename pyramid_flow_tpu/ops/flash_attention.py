@@ -507,6 +507,12 @@ def _bwd_dq_kernel(types_ref, tq_ref, tk_ref, q_ref, k_ref, v_ref, do_ref,
 def _bwd(q, k, v, time_q, time_kv, o, lse, do, causal, sm_scale, block_q, block_k):
     b, h, lq, d = q.shape
     lk = k.shape[2]
+    # the backward keeps more live tensors per tile (q, k, v, do, lse, delta,
+    # two accumulators): clamp to its known-good VMEM regime independently of
+    # the forward's (taller) tiles. lq/lk are already multiples of the
+    # forward sizes, hence of these divisors too.
+    block_q = min(block_q, 1024)
+    block_k = min(block_k, 1024)
     nq, nk = lq // block_q, lk // block_k
 
     types = _tile_types(time_q, time_kv, block_q, block_k, causal)
@@ -662,17 +668,19 @@ def flash_attention(
         return -(-x // m) * m
 
     def auto_block_k(l):
-        # Re-swept on v5e after the tile-type/fused-l kernel (b=2, h=24,
-        # d=64, real pyramid layouts): long sequences (768p units, L>=10k)
-        # want (1024, 2048) — the mask-free full-tile branch amortizes
-        # better; short ones (384p, L~3.2k) want (512, 1024) for less
-        # padding waste. Crossover measured ~flat between 4k and 10k.
-        big = 2048 if l > 4096 else 1024
+        # Re-swept on v5e with the pad-aware tile types + bounded kernel
+        # (b=2, h=24, d=64, real pyramid layouts, 2 seeds): tall tiles now
+        # win — (2048, 1024) beats the old (1024, 2048) by ~2-3% at long L
+        # (768p units, L>=10k) and (1024, 512) beats (512, 1024) by ~2% at
+        # short L (384p, L~3.2k). Larger q-tiles amortize the per-row
+        # prefetch; smart tile-typing makes the extra q padding free (pure
+        # pad q-tiles skip).
+        big = 1024 if l > 4096 else 512
         return min(big, round_up(max(l, 128), 128))
 
     def auto_block_q(l):
         lp = round_up(max(l, 128), 128)
-        return min(1024 if l > 4096 else 512, lp)
+        return min(2048 if l > 4096 else 1024, lp)
 
     import os
     env_blk = os.environ.get("PF_FLASH_BLOCK")

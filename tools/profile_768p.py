@@ -100,9 +100,12 @@ def main():
         positions, time_ids, trainable = clip_metadata(shapes)
         lc = positions.shape[0] - trainable
         pad = budgets[i_s] - lc
-        positions = np.concatenate([np.zeros((pad, 3), np.float32), positions])
+        # pad BETWEEN cond and current, matching generate_one_unit's layout
+        positions = np.concatenate(
+            [positions[:lc], np.zeros((pad, 3), np.float32), positions[lc:]])
         time_ids = np.concatenate(
-            [np.full((pad,), INVALID_TIME, np.int32), time_ids])
+            [time_ids[:lc], np.full((pad,), INVALID_TIME, np.int32),
+             time_ids[lc:]])
         L = positions.shape[0]
 
         tokens = jax.random.normal(rng, (2 * b, L, 64), jnp.bfloat16)
