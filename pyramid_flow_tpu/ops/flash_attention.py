@@ -686,6 +686,11 @@ def flash_attention(
     env_blk = os.environ.get("PF_FLASH_BLOCK")
     if env_blk:
         block_q = block_k = int(env_blk)
+    # A/B overrides for the L-dependent defaults: "bq,bk" pairs
+    env_pair = os.environ.get(
+        "PF_FLASH_BLOCKS_LONG" if lq > 4096 else "PF_FLASH_BLOCKS_SHORT")
+    if env_pair and block_q is None:
+        block_q, block_k = (int(x) for x in env_pair.split(","))
     bq = block_q if block_q is not None else auto_block_q(lq)
     bk = block_k if block_k is not None else auto_block_k(lk)
 
