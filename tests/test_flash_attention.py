@@ -183,3 +183,39 @@ def test_bounded_overshoot_probe():
     over = float(bounded_softmax_overshoot(q, k, t, causal=True))
     assert np.isfinite(over)
     assert 0.0 < over < 40.0  # Cauchy-Schwarz slack, far from the 120 cliff
+
+
+def test_tile_types_pad_aware():
+    """Direct check of the tile classifier: pure-pad q-tiles SKIP everything;
+    mixed valid+pad q-tiles still skip k-tiles their valid rows cannot see;
+    mixed-validity k-tiles are never FULL."""
+    from pyramid_flow_tpu.ops.flash_attention import (
+        TILE_FULL, TILE_MASKED, TILE_SKIP, _tile_types)
+
+    INV = int(INVALID_TIME)
+    # 6 tiles of 4: [text t=0 | frame1 | frame2 | pad | pad+frame3 | frame3]
+    t = np.array([[0, 0, 0, 0,
+                   1, 1, 1, 1,
+                   2, 2, 2, 2,
+                   INV, INV, INV, INV,
+                   INV, INV, 3, 3,
+                   3, 3, 3, 3]], np.int32)
+    tt = np.asarray(_tile_types(jnp.asarray(t), jnp.asarray(t), 4, 4,
+                                causal=True))[0]
+    # pure-pad q-tile (row 3) skips every k-tile
+    assert (tt[3] == TILE_SKIP).all()
+    # frame-1 queries (q-tile 1): see text+frame1 fully, skip frames 2/3 AND
+    # both pad-containing tiles (kmin=INV or kmin>1)
+    assert tt[1, 0] == TILE_FULL and tt[1, 1] == TILE_FULL
+    assert (tt[1, 2:] == TILE_SKIP).all()
+    # mixed pad+frame3 q-tile (4): pad rows must NOT disable skips for the
+    # frame-3 rows; tiles visible to frame 3 are FULL/MASKED, none skipped
+    assert tt[4, 0] == TILE_FULL          # text fully visible
+    assert tt[4, 4] == TILE_MASKED        # its own mixed tile: masked
+    # mixed-validity k-tile (4) is never FULL for any q-tile
+    assert (tt[:, 4] != TILE_FULL).all()
+    # non-causal: pure-pad q-tile skips, pure-pad k-tile skipped by all
+    tn = np.asarray(_tile_types(jnp.asarray(t), jnp.asarray(t), 4, 4,
+                                causal=False))[0]
+    assert (tn[3] == TILE_SKIP).all()
+    assert (tn[:, 3] == TILE_SKIP).all()
