@@ -62,7 +62,15 @@ def _selfcheck_cache_key():
         with open(os.path.join(root, rel), "rb") as f:
             h.update(f.read())
     h.update(jax.__version__.encode())
-    h.update(jax.devices()[0].device_kind.encode())
+    dev = jax.devices()[0]
+    h.update(dev.device_kind.encode())
+    # the compiler/runtime (libtpu or the remote compile helper) is the
+    # component whose Mosaic lowering bugs the selfcheck exists to catch —
+    # a new platform version must invalidate cached PASS verdicts
+    try:
+        h.update(str(dev.client.platform_version).encode())
+    except Exception:
+        pass
     return h.hexdigest()[:16]
 
 

@@ -505,14 +505,25 @@ def _bwd_dq_kernel(types_ref, tq_ref, tk_ref, q_ref, k_ref, v_ref, do_ref,
 
 
 def _bwd(q, k, v, time_q, time_kv, o, lse, do, causal, sm_scale, block_q, block_k):
-    b, h, lq, d = q.shape
-    lk = k.shape[2]
+    lq0, lk0 = q.shape[2], k.shape[2]
     # the backward keeps more live tensors per tile (q, k, v, do, lse, delta,
     # two accumulators): clamp to its known-good VMEM regime independently of
-    # the forward's (taller) tiles. lq/lk are already multiples of the
-    # forward sizes, hence of these divisors too.
+    # the forward's (taller) tiles. The forward only padded to ITS block
+    # multiples (e.g. 1536), so re-pad to this pass's: extra rows are inert —
+    # zero q gives s=0 and zero do/delta kill every gradient term, INVALID
+    # times make the tile classifier skip/mask them.
     block_q = min(block_q, 1024)
     block_k = min(block_k, 1024)
+    q = _pad_to(q, 2, block_q)
+    o = _pad_to(o, 2, block_q)
+    do = _pad_to(do, 2, block_q)
+    lse = _pad_to(lse, 2, block_q)
+    time_q = _pad_to(time_q, 1, block_q, value=int(INVALID_TIME))
+    k = _pad_to(k, 2, block_k)
+    v = _pad_to(v, 2, block_k)
+    time_kv = _pad_to(time_kv, 1, block_k, value=int(INVALID_TIME))
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
     nq, nk = lq // block_q, lk // block_k
 
     types = _tile_types(time_q, time_kv, block_q, block_k, causal)
@@ -589,7 +600,7 @@ def _bwd(q, k, v, time_q, time_kv, o, lse, do, causal, sm_scale, block_q, block_
         ),
         interpret=_interpret(),
     )(types, time_q[:, None], time_kv[:, None], q, k, v, do, lse_r, delta_r)
-    return dq, dk, dv
+    return dq[:, :, :lq0], dk[:, :, :lk0], dv[:, :, :lk0]
 
 
 # ============================================================== public API
@@ -684,13 +695,21 @@ def flash_attention(
 
     import os
     env_blk = os.environ.get("PF_FLASH_BLOCK")
-    if env_blk:
+    if env_blk:  # blunt bench knob: forces BOTH tile sizes, wins over args
         block_q = block_k = int(env_blk)
-    # A/B overrides for the L-dependent defaults: "bq,bk" pairs
-    env_pair = os.environ.get(
-        "PF_FLASH_BLOCKS_LONG" if lq > 4096 else "PF_FLASH_BLOCKS_SHORT")
-    if env_pair and block_q is None:
-        block_q, block_k = (int(x) for x in env_pair.split(","))
+    else:
+        # A/B overrides for the L-dependent defaults: "bq,bk" pairs. Only
+        # fill sizes the caller left unset, and pick each side's regime by
+        # its own length (they differ for cross-attention layouts).
+        def env_pair(l, idx):
+            s = os.environ.get(
+                "PF_FLASH_BLOCKS_LONG" if l > 4096 else "PF_FLASH_BLOCKS_SHORT")
+            return int(s.split(",")[idx]) if s else None
+
+        if block_q is None:
+            block_q = env_pair(lq, 0)
+        if block_k is None:
+            block_k = env_pair(lk, 1)
     bq = block_q if block_q is not None else auto_block_q(lq)
     bk = block_k if block_k is not None else auto_block_k(lk)
 

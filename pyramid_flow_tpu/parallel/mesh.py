@@ -63,10 +63,15 @@ def maybe_initialize_distributed():
     # NOTE: must not call jax.process_count()/jax.devices() here — they
     # initialize the XLA backend, after which jax.distributed.initialize()
     # hard-fails. Detect "already initialized" via the distributed client.
-    from jax._src import distributed as _jdist
-
-    if getattr(_jdist.global_state, "client", None) is not None:
-        return  # already initialized (runtime or a previous call)
+    # The private probe is best-effort: if the module moves in a future jax,
+    # fall through and let initialize() itself report double-init (only the
+    # coordinator-env-present path may raise, never plain single-host runs).
+    try:
+        from jax._src import distributed as _jdist
+        if getattr(_jdist.global_state, "client", None) is not None:
+            return  # already initialized (runtime or a previous call)
+    except ImportError:
+        pass
     coord = [k for k in _COORDINATOR_ENV_KEYS if k in os.environ]
     if not coord:
         return

@@ -174,6 +174,15 @@ def make_vae_train_step(vae, lpips, lpips_params, disc, *, use_3d_disc=False,
     def flatten_t(x):  # [B, T, H, W, C] -> [(B T), H, W, C]
         return x.reshape((-1,) + x.shape[2:])
 
+    def disc_input(r):
+        """What the discriminator sees — ONE definition so the generator's
+        logits_fake and the disc step's real/fake stay conventions-identical."""
+        if not use_3d_disc:
+            return flatten_t(r)  # 2D PatchGAN judges frames independently
+        if cp:  # 3D disc sees the whole clip on every device
+            return jax.lax.all_gather(r, cp_axis, axis=1, tiled=True)
+        return r
+
     def nll_of(recon, video, gen_params, cfg):
         x = flatten_t(video)
         y = flatten_t(recon)
@@ -206,13 +215,6 @@ def make_vae_train_step(vae, lpips, lpips_params, disc, *, use_3d_disc=False,
         kl = kl_rows.mean()
         if cp and dp_axis:
             kl = jax.lax.pmean(kl, dp_axis)
-
-        def disc_input(r):
-            if not use_3d_disc:
-                return flatten_t(r)
-            if cp:  # 3D disc sees the whole clip on every device
-                return jax.lax.all_gather(r, cp_axis, axis=1, tiled=True)
-            return r
 
         logits_fake = disc.apply({"params": disc_params}, disc_input(recon))
         g_loss = pm(-jnp.mean(logits_fake))
@@ -297,13 +299,6 @@ def make_vae_train_step(vae, lpips, lpips_params, disc, *, use_3d_disc=False,
 
         # -------------- discriminator --------------
         def disc_loss_core(disc_params, video_, recon_):
-            def disc_input(r):
-                if not use_3d_disc:
-                    return flatten_t(r)
-                if cp:
-                    return jax.lax.all_gather(r, cp_axis, axis=1, tiled=True)
-                return r
-
             real = disc_input(video_)
             fake = jax.lax.stop_gradient(disc_input(recon_))
             lr_ = disc.apply({"params": disc_params}, real)

@@ -94,6 +94,33 @@ def test_gradients_match_reference(causal):
         )
 
 
+def test_gradients_with_non_1024_multiple_block():
+    """Forward blocks > 1024 that are NOT multiples of 1024 (e.g. the
+    PF_FLASH_BLOCK=1536 A/B knob): the backward clamps its tiles to 1024 and
+    must re-pad to ITS block multiples — regression for a silent gradient
+    truncation where dq rows past the last full 1024 tile were never
+    written."""
+    q, k, v, t = make_inputs(jax.random.PRNGKey(9), b=1, h=2, l=1200)
+    valid = (np.asarray(t[0]) != int(INVALID_TIME)).astype(np.float32)
+    w = jnp.asarray(valid)[None, None, :, None]
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, t, causal=True,
+                              block_q=1536, block_k=1536)
+        return jnp.sum((out * w) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum((attention_reference(q, k, v, t, causal=True) * w) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-4, rtol=1e-3,
+            err_msg=f"grad {name}",
+        )
+
+
 def test_bf16_forward():
     q, k, v, t = make_inputs(jax.random.PRNGKey(4), l=128)
     out = flash_attention(

@@ -79,7 +79,10 @@ def build_pipeline(args, variant=None):
         try:
             import jax
             stats = jax.local_devices()[0].memory_stats() or {}
-            free = stats.get("bytes_limit", 16e9) - stats.get("bytes_in_use", 0)
+            # unknown capacity must mean "evict" (free=0), not "plenty":
+            # backends that return {} would otherwise never evict and the
+            # second resident DiT OOMs mid-request
+            free = stats["bytes_limit"] - stats["bytes_in_use"]
         except Exception:
             free = 0.0
         if free < 8e9:
