@@ -152,10 +152,41 @@ def selfcheck(vae, vae_params):
         f.write(f"pass {time.time():.0f}\n")
 
 
+def _require_live_devices(timeout_s=240):
+    """Fail FAST and loud if the TPU tunnel is half-up (observed failure
+    mode: the PJRT plugin registers and the backend initializes, then the
+    first device operation blocks forever). A hung bench leaves the driver's
+    capture empty; a clean one-line verdict is diagnosable."""
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            x = jnp.ones((8, 128)) @ jnp.ones((128, 8))
+            result["sum"] = float(jnp.sum(x))
+        except Exception as e:  # pragma: no cover - depends on runtime
+            result["err"] = repr(e)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "sum" not in result:
+        log(f"FATAL: device probe did not complete within {timeout_s}s "
+            f"(err={result.get('err')}) — TPU tunnel down/half-up; "
+            "aborting instead of hanging")
+        print(json.dumps({
+            "metric": "error", "value": 0, "unit": "device_probe_timeout",
+            "vs_baseline": 0.0}), flush=True)
+        os._exit(2)
+
+
 def main():
     from pyramid_flow_tpu.models.flux.model import FluxConfig, PyramidFluxTransformer
     from pyramid_flow_tpu.models.vae.model import CausalVideoVAE, VAEConfig
     from pyramid_flow_tpu.pipeline.pyramid_pipeline import PyramidFlowPipeline
+
+    _require_live_devices()
 
     temp = int(os.environ.get("BENCH_TEMP", 16))
     height = int(os.environ.get("BENCH_HEIGHT", 384))
