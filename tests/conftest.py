@@ -22,11 +22,29 @@ def _needs_reexec() -> bool:
     jax_mod = sys.modules.get("jax")
     if jax_mod is None:
         return False
-    try:
-        return jax_mod.default_backend() != "cpu"
-    except Exception:
-        # backend not initialized yet; plugin registration may still win
+
+    # default_backend() can HANG when the TPU tunnel is half-up (plugin
+    # registers, backend init prints its warning, then device enumeration
+    # blocks forever) — probe it in a bounded daemon thread; execve below
+    # replaces the process image, killing a still-blocked probe.
+    import threading
+
+    res = {}
+
+    def probe():
+        try:
+            res["backend"] = jax_mod.default_backend()
+        except Exception:
+            res["backend"] = None
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(60)
+    if "backend" not in res or res["backend"] is None:
+        # hung or failed: only the TPU plugin does that — re-exec to CPU if
+        # it could have been registered
         return bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+    return res["backend"] != "cpu"
 
 
 if _needs_reexec():
