@@ -24,7 +24,8 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TOOLS = sorted(
-    f for f in os.listdir(os.path.join(REPO, "tools")) if f.endswith(".py")
+    f for f in os.listdir(os.path.join(REPO, "tools"))
+    if f.endswith(".py") and not f.startswith("_")
 )
 SCRIPTS = sorted(
     f for f in os.listdir(os.path.join(REPO, "scripts")) if f.endswith(".sh")
