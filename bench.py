@@ -24,6 +24,7 @@ scripts/inference_multidevice.sh).
 """
 
 import faulthandler
+import functools
 import json
 import os
 import sys
@@ -127,6 +128,33 @@ def selfcheck(vae, vae_params):
         assert diff <= tol, (
             f"selfcheck FAILED: flash vs oracle max|diff|={diff} > {tol} "
             f"({dtype.__name__}, causal={causal}, bounded={bounded})")
+
+    # backward kernels (dq/dk/dv) vs the XLA oracle's grads — CPU tests run
+    # these only in interpreter mode, so the Mosaic lowering of the bwd
+    # specs (incl. the [B,H,L] lane-row lse/delta layout) is only proven
+    # here. Shorter L: the bwd compile is the expensive part, not the math.
+    Lb = 1024
+    tb = jnp.asarray(np.concatenate([
+        np.zeros(128, np.int32), np.full(64, INVALID_TIME, np.int32),
+        np.repeat(np.arange(1, 5, dtype=np.int32), 120),
+        np.full(352, 5, np.int32)]))[None]
+    wb = jnp.asarray((np.asarray(tb[0]) != INVALID_TIME))[None, None, :, None]
+    qb = jax.random.normal(jax.random.PRNGKey(17), (1, 4, Lb, 64)) * 0.3
+    kb = jax.random.normal(jax.random.PRNGKey(18), (1, 4, Lb, 64)) * 0.3
+    vb = jax.random.normal(jax.random.PRNGKey(19), (1, 4, Lb, 64)) * 0.3
+
+    def loss(attn_fn, q_, k_, v_):
+        return jnp.sum((attn_fn(q_, k_, v_, tb, causal=True) * wb) ** 2)
+
+    g_f = jax.grad(functools.partial(loss, flash_attention),
+                   argnums=(0, 1, 2))(qb, kb, vb)
+    g_r = jax.grad(functools.partial(loss, attention_reference),
+                   argnums=(0, 1, 2))(qb, kb, vb)
+    for a, b_, name in zip(g_f, g_r, "qkv"):
+        gd = float(np.abs(np.asarray(a) - np.asarray(b_)).max())
+        assert gd <= 5e-3, (
+            f"selfcheck FAILED: flash backward d{name} vs oracle "
+            f"max|diff|={gd}")
 
     # chunked streaming decode == monolithic decode (same latent, one chip)
     z = jax.random.normal(jax.random.PRNGKey(10), (1, 3, 8, 8, 16),

@@ -406,8 +406,10 @@ def _bwd_dkv_kernel(types_ref, tq_ref, tk_ref, q_ref, k_ref, v_ref, do_ref,
         k = k_ref[0, 0]        # [bk, d]
         v = v_ref[0, 0]        # [bk, d]
         do = do_ref[0, 0]      # [bq, d]
-        lse = lse_ref[0, 0]    # [bq, 128] (replicated lanes)
-        delta = delta_ref[0, 0]
+        # per-q-row stats arrive as lane rows (same layout as the time ids);
+        # relayout to columns for broadcasting against [bq, bk]
+        lse = lse_ref[0, 0].reshape(-1, 1)    # [bq, 1]
+        delta = delta_ref[0, 0].reshape(-1, 1)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -419,7 +421,7 @@ def _bwd_dkv_kernel(types_ref, tq_ref, tk_ref, q_ref, k_ref, v_ref, do_ref,
         # outputs (wrapper-padded rows are sliced off; in-budget INVALID rows
         # are masked out of the loss) — so their p contributes p * 0 to every
         # grad. Rows the forward zeroed via lse=3e38 additionally get p = 0.
-        p = jnp.exp(s - lse[:, :1])
+        p = jnp.exp(s - lse)
         if masked:
             tq = tq_ref[0, 0].reshape(-1, 1)
             tk = tk_ref[0, 0].reshape(1, -1)
@@ -433,7 +435,7 @@ def _bwd_dkv_kernel(types_ref, tq_ref, tk_ref, q_ref, k_ref, v_ref, do_ref,
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta[:, :1]) * sm_scale
+        ds = p * (dp - delta) * sm_scale
         dk_scr[...] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -470,13 +472,13 @@ def _bwd_dq_kernel(types_ref, tq_ref, tk_ref, q_ref, k_ref, v_ref, do_ref,
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        lse = lse_ref[0, 0]
-        delta = delta_ref[0, 0]
+        lse = lse_ref[0, 0].reshape(-1, 1)    # [bq, 1] (see dkv kernel)
+        delta = delta_ref[0, 0].reshape(-1, 1)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale
-        p = jnp.exp(s - lse[:, :1])
+        p = jnp.exp(s - lse)
         if masked:
             tq = tq_ref[0, 0].reshape(-1, 1)
             tk = tk_ref[0, 0].reshape(1, -1)
@@ -486,7 +488,7 @@ def _bwd_dq_kernel(types_ref, tq_ref, tk_ref, q_ref, k_ref, v_ref, do_ref,
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta[:, :1]) * sm_scale
+        ds = p * (dp - delta) * sm_scale
         dq_scr[...] += jax.lax.dot(
             ds.astype(k.dtype), k, preferred_element_type=jnp.float32
         )
@@ -527,9 +529,12 @@ def _bwd(q, k, v, time_q, time_kv, o, lse, do, causal, sm_scale, block_q, block_
     nq, nk = lq // block_q, lk // block_k
 
     types = _tile_types(time_q, time_kv, block_q, block_k, causal)
+    # per-q-row stats stay [B, H, L] lane rows (the kernels relayout per
+    # tile) — broadcasting to NUM_LANES here would materialize and stream
+    # B*H*L*128*4 bytes per array from HBM for data the kernel reads once
     delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
-    lse_r = jnp.broadcast_to(lse[..., None], (b, h, lq, NUM_LANES))
-    delta_r = jnp.broadcast_to(delta[..., None], (b, h, lq, NUM_LANES))
+    lse_r = lse.astype(jnp.float32)
+    delta_r = delta
 
     dkv_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -541,10 +546,8 @@ def _bwd(q, k, v, time_q, time_kv, o, lse, do, causal, sm_scale, block_q, block_
             pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, t: (b, h, i, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, t: (b, h, i, 0)),
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j, t: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, block_q, NUM_LANES),
-                         lambda b, h, i, j, t: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, block_q, NUM_LANES),
-                         lambda b, h, i, j, t: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, t: (b, h, j)),
+            pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, t: (b, h, j)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, t: (b, h, i, 0)),
@@ -580,10 +583,8 @@ def _bwd(q, k, v, time_q, time_kv, o, lse, do, causal, sm_scale, block_q, block_
             pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, t: (b, h, j, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, t: (b, h, j, 0)),
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j, t: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, NUM_LANES),
-                         lambda b, h, i, j, t: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, NUM_LANES),
-                         lambda b, h, i, j, t: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, t: (b, h, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, t: (b, h, i)),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, block_q, d), lambda b, h, i, j, t: (b, h, i, 0)),

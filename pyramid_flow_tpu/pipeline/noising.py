@@ -45,12 +45,16 @@ __all__ = [
 ]
 
 
-# latent normalization constants (reference pipeline :164-176)
-_LATENT_NORMS = {
+# latent normalization constants (reference pipeline :164-176) — the ONE
+# definition; PyramidFlowPipeline reads these too so train-time (here) and
+# inference-time normalization can never drift apart
+LATENT_NORMS = {
     "pyramid_flux": (-0.04, 1 / 1.8726),
     "pyramid_mmdit": (0.1490, 1 / 1.8415),
 }
-_VIDEO_NORM = (-0.2343, 1 / 3.0986)
+VIDEO_NORM = (-0.2343, 1 / 3.0986)
+_LATENT_NORMS = LATENT_NORMS  # back-compat alias
+_VIDEO_NORM = VIDEO_NORM
 
 
 def normalize_latent(x, model_name: str = "pyramid_flux"):
@@ -241,7 +245,10 @@ def sample_stage_length(
     ``step`` is the accumulated step counter driving the rotation.
     """
     max_units_in_training = 1 + (max_temporal_length - 1) // frame_per_unit
-    total_turns = max_units_in_training // video_sync_group
+    # short-clip runs can have fewer AR units than the sync-group size (the
+    # reference guards this only by a README constraint); one turn then
+    # covers every position and the rotation is a no-op
+    total_turns = max(1, max_units_in_training // video_sync_group)
     update_turn = step % total_turns
 
     high = max(int((rank % video_sync_group + 1) + update_turn * video_sync_group), 1)

@@ -135,16 +135,12 @@ class PyramidFlowPipeline:
         )
 
         # latent normalization constants (reference :164-176)
-        if model_name == "pyramid_flux":
-            self.vae_shift_factor = -0.04
-            self.vae_scale_factor = 1 / 1.8726
-        elif model_name == "pyramid_mmdit":
-            self.vae_shift_factor = 0.1490
-            self.vae_scale_factor = 1 / 1.8415
-        else:
+        from .noising import LATENT_NORMS, VIDEO_NORM
+
+        if model_name not in LATENT_NORMS:
             raise ValueError(f"unknown model_name {model_name}")
-        self.vae_video_shift_factor = -0.2343
-        self.vae_video_scale_factor = 1 / 3.0986
+        self.vae_shift_factor, self.vae_scale_factor = LATENT_NORMS[model_name]
+        self.vae_video_shift_factor, self.vae_video_scale_factor = VIDEO_NORM
         self.pos_embed_max_size = 192  # SD3 sincos table size (mmdit only)
         self.MAX_STEPS = 64  # timestep-buffer size (dynamic trip count)
 
@@ -154,8 +150,6 @@ class PyramidFlowPipeline:
                              "width"),
             donate_argnames=("latents",),
         )
-        self._pack_cond_jit = jax.jit(
-            self._pack_cond, static_argnames=("budget",))
         self._prep_cond_jit = jax.jit(
             self._prep_cond_from_history,
             static_argnames=("unit_index", "stage", "budget"))
@@ -326,32 +320,45 @@ class PyramidFlowPipeline:
 
         return jax.lax.fori_loop(0, n, step, latents)
 
-    def _stage_clip_shapes(self, b, h_lat, w_lat, unit_index, stage):
-        """Conditioning clip SHAPES for (unit, stage) — the shape-level mirror
-        of the reference's history construction (:1156-1182). Returns a list
-        of (B, T, H, W, C) for history clips (oldest first), [] at unit 0."""
+    def _cond_clip_plan(self, unit_index, stage):
+        """Host-side plan of the conditioning clips for (unit, stage):
+        ``[(s, lo, hi)]`` oldest-first — each clip takes history frames
+        [lo, hi) at stage-``s`` resolution (the reference's history
+        construction :1156-1182). History unit 0 is a SINGLE frame (the
+        first-frame unit); units j>=1 span frames
+        [1+(j-1)*fpu, 1+j*fpu). The newest history unit conditions at the
+        current stage's resolution, older units at progressively lower
+        stages; everything older than stage 0 collapses into one
+        lowest-resolution clip. The ONE source of truth for both the shape
+        metadata (`_stage_clip_shapes`) and the packed tokens
+        (`_prep_cond_from_history`)."""
         if unit_index == 0:
             return []
         fpu = self.frame_per_unit
+        plan = []
+        j, s = unit_index - 1, stage
+        while j >= 0:
+            if s == 0:
+                plan.append((0, 0, 1 + j * fpu))  # all remaining history
+                break
+            plan.append((s, 0, 1) if j == 0
+                        else (s, 1 + (j - 1) * fpu, 1 + j * fpu))
+            j -= 1
+            s -= 1
+        return list(reversed(plan))
+
+    def _stage_clip_shapes(self, b, h_lat, w_lat, unit_index, stage):
+        """Conditioning clip SHAPES for (unit, stage): the shape-level mirror
+        of ``_prep_cond_from_history`` — (B, T, H, W, C) oldest-first, []
+        at unit 0."""
         c = self.latent_channels
 
         def dims(s):
             return (h_lat >> (self.num_stages - 1 - s),
                     w_lat >> (self.num_stages - 1 - s))
 
-        shapes = [(b, fpu) + dims(stage) + (c,)]  # newest unit at stage res
-        cur_unit_ptx, cur_stage = 1, stage
-        while cur_unit_ptx < unit_index:
-            cur_stage = max(cur_stage - 1, 0)
-            if cur_stage == 0:
-                break
-            cur_unit_ptx += 1
-            shapes.append((b, fpu) + dims(cur_stage) + (c,))
-        if cur_stage == 0 and cur_unit_ptx < unit_index:
-            total_hist = 1 + (unit_index - 1) * fpu
-            rem = total_hist - cur_unit_ptx * fpu
-            shapes.append((b, rem) + dims(0) + (c,))
-        return list(reversed(shapes))
+        return [(b, hi - lo) + dims(s) + (c,)
+                for (s, lo, hi) in self._cond_clip_plan(unit_index, stage)]
 
     def _prep_cond_from_history(self, history, *, unit_index: int, stage: int,
                                 budget: int):
@@ -359,20 +366,8 @@ class PyramidFlowPipeline:
         [2B, budget, 4C]: pyramid + clip slicing + patchify + pad + CFG-double
         as ONE compiled program per (unit, stage) shape."""
         clean_list = latent_pyramid(history, self.num_stages)
-        fpu = self.frame_per_unit
-        stage_input = [clean_list[stage][:, -fpu:]]
-        cur_unit_ptx, cur_stage = 1, stage
-        while cur_unit_ptx < unit_index:
-            cur_stage = max(cur_stage - 1, 0)
-            if cur_stage == 0:
-                break
-            cur_unit_ptx += 1
-            stage_input.append(
-                clean_list[cur_stage][
-                    :, -(cur_unit_ptx * fpu): -((cur_unit_ptx - 1) * fpu)])
-        if cur_stage == 0 and cur_unit_ptx < unit_index:
-            stage_input.append(clean_list[0][:, : -(cur_unit_ptx * fpu)])
-        clips = list(reversed(stage_input))
+        clips = [clean_list[s][:, lo:hi]
+                 for (s, lo, hi) in self._cond_clip_plan(unit_index, stage)]
         return self._pack_cond(tuple(clips), budget=budget)
 
     def generate_one_unit(

@@ -19,6 +19,19 @@ from .pyramid_pipeline import PyramidFlowPipeline
 
 __all__ = ["PyramidFlowRunner", "DEFAULT_NEGATIVE_PROMPT", "PROMPT_SUFFIX"]
 
+
+def _resize_crop(img: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Aspect-preserving cover resize + center crop of [H, W, 3] uint8 to
+    (th, tw) — the reference app's ``resize_crop_image`` (`app.py:148-158`)."""
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    scale = max(tw / w, th / h)
+    rw, rh = round(w * scale), round(h * scale)
+    im = Image.fromarray(img).resize((rw, rh), Image.BILINEAR)
+    left, top = (rw - tw) // 2, (rh - th) // 2
+    return np.asarray(im.crop((left, top, left + tw, top + th)))
+
 PROMPT_SUFFIX = ", hyper quality, Ultra HD, 8K"
 DEFAULT_NEGATIVE_PROMPT = (
     "cartoon style, worst quality, low quality, blurry, absolute black, "
@@ -77,11 +90,25 @@ class PyramidFlowRunner:
     def generate_i2v(self, prompt: Union[str, List[str]], input_image,
                      negative_prompt: Optional[str] = DEFAULT_NEGATIVE_PROMPT,
                      seed: int = 0, **kwargs):
-        """Image-to-video. ``input_image``: PIL.Image or [H, W, 3] uint8."""
+        """Image-to-video. ``input_image``: PIL.Image or [H, W, 3] uint8.
+
+        Like the reference, the target resolution follows the image when
+        ``height``/``width`` are not given (pipeline :828-829); when they ARE
+        given, the image is aspect-preserving resize-cropped to them first
+        (the reference app's ``resize_crop_image``, `app.py:148-158`) — an
+        un-resized mismatch would otherwise crash deep in the cond packing."""
         from ..models.vae.model import chunk_encode, gaussian_sample
 
         pos, neg = self._encode_prompts(prompt, negative_prompt)
         img = np.asarray(input_image)
+        if "height" in kwargs or "width" in kwargs:
+            th, tw = kwargs.get("height"), kwargs.get("width")
+            if th is None or tw is None:
+                raise ValueError("pass both height and width (or neither)")
+            if img.shape[:2] != (th, tw):
+                img = _resize_crop(img, th, tw)
+        else:
+            kwargs["height"], kwargs["width"] = img.shape[0], img.shape[1]
         px = (img.astype(np.float32) / 127.5 - 1.0)[None, None]
         moments = chunk_encode(
             self.pipeline.vae, self.pipeline.vae_params, jnp.asarray(px),

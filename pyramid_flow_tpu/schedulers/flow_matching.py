@@ -199,4 +199,6 @@ def euler_step(sample: jnp.ndarray, velocity: jnp.ndarray, sigma: jnp.ndarray,
     out = sample.astype(jnp.float32) + (sigma_next - sigma) * velocity.astype(
         jnp.float32
     )
-    return out.astype(velocity.dtype)
+    # keep the CARRY dtype: a bf16 model output must not demote an fp32
+    # latent (lax loop carries would reject the dtype flip)
+    return out.astype(sample.dtype)

@@ -114,6 +114,54 @@ def test_generate_i2v(pipeline):
     assert out.shape == (1, 3, 8, 8, 4)
 
 
+@pytest.mark.parametrize("fpu", [1, 2, 4])
+def test_cond_metadata_matches_packed_clips(pipeline, fpu):
+    """The shape metadata (`_stage_clip_shapes`, drives RoPE positions and
+    time ids) must agree with the clips `_prep_cond_from_history` actually
+    packs — regression for frame_per_unit>1, where history unit 0 has ONE
+    frame, not fpu (metadata previously claimed fpu and the pad landed past
+    the real tokens, giving zero-pad tokens VALID time ids)."""
+    dit, params = pipeline.dit, pipeline.dit_params
+    pipe = PyramidFlowPipeline(
+        dit, params, None, None, latent_channels=4, dtype=jnp.float32,
+        frame_per_unit=fpu)
+    h_lat = w_lat = 8
+    for unit_index in range(1, 5):
+        t_hist = 1 + (unit_index - 1) * fpu
+        history = jnp.zeros((1, t_hist, h_lat, w_lat, 4))
+        for stage in range(pipe.num_stages):
+            plan = pipe._cond_clip_plan(unit_index, stage)
+            # plan covers the whole history exactly, oldest-first, no overlap
+            assert plan[0][1] == 0 and plan[-1][2] == t_hist
+            assert all(a[2] == b_[1] for a, b_ in zip(plan, plan[1:]))
+            shapes = pipe._stage_clip_shapes(1, h_lat, w_lat, unit_index, stage)
+            clips = [
+                latent_pyramid(history, pipe.num_stages)[s][:, lo:hi]
+                for (s, lo, hi) in plan
+            ]
+            assert [c.shape for c in clips] == [tuple(s) for s in shapes], (
+                fpu, unit_index, stage)
+
+
+@pytest.mark.slow
+def test_generate_video_ar_frame_per_unit_2(pipeline):
+    """E2E: temp=4 with frame_per_unit=2 (2 AR units after the first frame).
+    Only fpu=1 was exercised before; this drives the unit-0-is-one-frame
+    history bookkeeping through real generation."""
+    pipe = PyramidFlowPipeline(
+        pipeline.dit, pipeline.dit_params, pipeline.vae, pipeline.vae_params,
+        latent_channels=4, dtype=jnp.float32, frame_per_unit=2)
+    emb, mask, pooled = _text_inputs()
+    out = pipe.generate(
+        jax.random.PRNGKey(5), emb, mask, pooled, emb * 0, mask, pooled * 0,
+        height=64, width=64, temp=5,
+        num_inference_steps=[1, 1, 1], video_num_inference_steps=[1, 1, 1],
+        output_type="latent",
+    )
+    assert out.shape == (1, 5, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_decode_pixels(pipeline):
     z = jax.random.normal(jax.random.PRNGKey(4), (1, 2, 8, 8, 4)) * 0.3
     img = pipeline.decode_latent(z)
