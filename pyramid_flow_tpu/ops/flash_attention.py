@@ -408,8 +408,8 @@ def _bwd_dkv_kernel(types_ref, tq_ref, tk_ref, q_ref, k_ref, v_ref, do_ref,
         do = do_ref[0, 0]      # [bq, d]
         # per-q-row stats arrive as lane rows (same layout as the time ids);
         # relayout to columns for broadcasting against [bq, bk]
-        lse = lse_ref[0, 0].reshape(-1, 1)    # [bq, 1]
-        delta = delta_ref[0, 0].reshape(-1, 1)
+        lse = lse_ref[0, 0, 0].reshape(-1, 1)    # [bq, 1]
+        delta = delta_ref[0, 0, 0].reshape(-1, 1)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -472,8 +472,8 @@ def _bwd_dq_kernel(types_ref, tq_ref, tk_ref, q_ref, k_ref, v_ref, do_ref,
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        lse = lse_ref[0, 0].reshape(-1, 1)    # [bq, 1] (see dkv kernel)
-        delta = delta_ref[0, 0].reshape(-1, 1)
+        lse = lse_ref[0, 0, 0].reshape(-1, 1)    # [bq, 1] (see dkv kernel)
+        delta = delta_ref[0, 0, 0].reshape(-1, 1)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -529,12 +529,17 @@ def _bwd(q, k, v, time_q, time_kv, o, lse, do, causal, sm_scale, block_q, block_
     nq, nk = lq // block_q, lk // block_k
 
     types = _tile_types(time_q, time_kv, block_q, block_k, causal)
-    # per-q-row stats stay [B, H, L] lane rows (the kernels relayout per
-    # tile) — broadcasting to NUM_LANES here would materialize and stream
-    # B*H*L*128*4 bytes per array from HBM for data the kernel reads once
+    # per-q-row stats stay lane rows (the kernels relayout per tile) —
+    # broadcasting to NUM_LANES here would materialize and stream
+    # B*H*L*128*4 bytes per array from HBM for data the kernel reads once.
+    # Carried as [B, H, 1, L] (same trick as the forward's lse output and
+    # the time-id rows): Mosaic requires the second-to-last BLOCK dim to be
+    # 8-divisible or equal to the array dim, so blocking [B, H, L] with
+    # (1, 1, block_q) is illegal whenever H not in {1, block}, while
+    # (1, 1, 1, block_q) over the explicit singleton axis always lowers.
     delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
-    lse_r = lse.astype(jnp.float32)
-    delta_r = delta
+    lse_r = lse.astype(jnp.float32)[:, :, None]
+    delta_r = delta[:, :, None]
 
     dkv_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -546,8 +551,8 @@ def _bwd(q, k, v, time_q, time_kv, o, lse, do, causal, sm_scale, block_q, block_
             pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, t: (b, h, i, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, t: (b, h, i, 0)),
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j, t: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, t: (b, h, j)),
-            pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, t: (b, h, j)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j, t: (b, h, 0, j)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j, t: (b, h, 0, j)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, t: (b, h, i, 0)),
@@ -583,8 +588,8 @@ def _bwd(q, k, v, time_q, time_kv, o, lse, do, causal, sm_scale, block_q, block_
             pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, t: (b, h, j, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, t: (b, h, j, 0)),
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j, t: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, t: (b, h, i)),
-            pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, t: (b, h, i)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j, t: (b, h, 0, i)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j, t: (b, h, 0, i)),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, block_q, d), lambda b, h, i, j, t: (b, h, i, 0)),
