@@ -197,9 +197,16 @@ def _fwd_kernel(types_ref, tq_ref, tk_ref, q_ref, k_ref, v_ref, o_ref,
 # online-softmax VPU chain disappears — no [bq,bk] max-reduce, no m compare,
 # no acc rescale — leaving ONE fused sub+exp2+cast pass per tile. Measured
 # ceiling of the running-max kernel is 62 TF/s on v5e (VPU-bound at d=64).
+#
+# ``hs`` = heads per grid cell. With hs=2 the kernel body holds TWO
+# independent matmul->exp2->matmul chains, so head B's q@kT (MXU) issues
+# while head A's exp2 pass (VPU) drains — classic ILP cure for the VPU/MXU
+# serialization, zero extra FLOPs. Measured on v5e at the 768p final-unit
+# layout (L=11008, b=2, h=24, d=64): 1.124x over hs=1 at (bq,bk)=(1024,1024);
+# hs=3/4/6 and bigger tiles are at-parity or VMEM-OOM (tools/exp_flash_h2.py).
 def _fwd_kernel_bounded(types_ref, tq_ref, tk_ref, mb_ref, q_ref, k_ref,
                         v_ref, o_ref, lse_ref, acc_scr,
-                        *, causal, sm_scale, num_k_blocks):
+                        *, causal, sm_scale, num_k_blocks, hs=1):
     b_idx = pl.program_id(0)
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
@@ -209,42 +216,53 @@ def _fwd_kernel_bounded(types_ref, tq_ref, tk_ref, mb_ref, q_ref, k_ref,
     def _init():
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    def _update(s):
-        mb = mb_ref[0, 0, 0].reshape(-1, 1)  # [bq, 1] log2 score bound
-        p = jnp.exp2(s - mb)
-        v = v_ref[0, 0]  # [bk, vw] (ones column in the last lane)
-        acc_scr[...] += jax.lax.dot(p.astype(v.dtype), v,
-                                    preferred_element_type=jnp.float32)
+    c = jnp.asarray(sm_scale * LOG2E, q_ref.dtype)
 
-    def _scores():
-        q = q_ref[0, 0] * jnp.asarray(sm_scale * LOG2E, q_ref.dtype)
-        k = k_ref[0, 0]
+    def _scores(h):
         return jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+            q_ref[0, h] * c, k_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def _update(mask):
+        # all hs score matmuls first, then the exp2+pv chains: the
+        # interleaving gives Mosaic's scheduler independent MXU work to
+        # overlap each head's VPU exp2 pass with
+        ss = []
+        for h in range(hs):
+            s = _scores(h)
+            if mask is not None:
+                s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+            ss.append(s)
+        for h in range(hs):
+            mb = mb_ref[0, h, 0].reshape(-1, 1)  # [bq, 1] log2 score bound
+            p = jnp.exp2(ss[h] - mb)
+            v = v_ref[0, h]  # [bk, vw] (ones column in the last lane)
+            acc_scr[h] += jax.lax.dot(p.astype(v.dtype), v,
+                                      preferred_element_type=jnp.float32)
 
     @pl.when(tt == TILE_FULL)
     def _full():
-        _update(_scores())
+        _update(None)
 
     @pl.when(tt == TILE_MASKED)
     def _masked():
         tq = tq_ref[0, 0].reshape(-1, 1)
         tk = tk_ref[0, 0].reshape(1, -1)
-        mask = (tk <= tq) if causal else (tk != INVALID_TIME)
-        _update(jnp.where(mask, _scores(), DEFAULT_MASK_VALUE))
+        _update((tk <= tq) if causal else (tk != INVALID_TIME))
 
     @pl.when(kv_idx == num_k_blocks - 1)
     def _finalize():
-        acc = acc_scr[...]
-        l = acc[:, acc.shape[-1] - 1:]
-        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o_ref[0, 0] = (acc[:, :o_ref.shape[-1]] * l_inv).astype(o_ref.dtype)
-        mb = mb_ref[0, 0, 0].reshape(-1, 1)
-        lse = jnp.where(
-            l == 0.0, jnp.float32(3e38),
-            mb * jnp.float32(1.0 / LOG2E) + jnp.log(l))
-        lse_ref[0, 0, 0] = lse[:, 0].astype(jnp.float32)
+        for h in range(hs):
+            acc = acc_scr[h]
+            l = acc[:, acc.shape[-1] - 1:]
+            l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+            o_ref[0, h] = (acc[:, :o_ref.shape[-1]] * l_inv).astype(
+                o_ref.dtype)
+            mb = mb_ref[0, h, 0].reshape(-1, 1)
+            lse = jnp.where(
+                l == 0.0, jnp.float32(3e38),
+                mb * jnp.float32(1.0 / LOG2E) + jnp.log(l))
+            lse_ref[0, h, 0] = lse[:, 0].astype(jnp.float32)
 
 
 def _ones_column_pad(v):
@@ -258,19 +276,22 @@ def _ones_column_pad(v):
 
 
 def _run_fwd(kernel, q, k, v, time_q, time_kv, causal, sm_scale,
-             block_q, block_k, extra_rows=(), has_m_scratch=True):
+             block_q, block_k, extra_rows=(), has_m_scratch=True, hs=1):
     """Shared pallas_call plumbing for BOTH forward kernels.
 
     The only variant differences: ``extra_rows`` — extra [B, H, 1, Lq]
     per-q-row inputs (the bounded kernel's score-bound array), placed right
-    after the time ids — and ``has_m_scratch`` (the classic kernel carries a
-    running-max scratch; bounded does not). Everything else (grid, tile
-    types, ones-column v pad, out shapes, scratch sizing) is identical, so
-    it lives here exactly once.
+    after the time ids — ``has_m_scratch`` (the classic kernel carries a
+    running-max scratch; bounded does not), and ``hs`` heads per grid cell
+    (the bounded kernel's ILP lever; the classic kernel requires hs=1).
+    Everything else (grid, tile types, ones-column v pad, out shapes,
+    scratch sizing) is identical, so it lives here exactly once.
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
     nq, nk = lq // block_q, lk // block_k
+    assert h % hs == 0, (h, hs)
+    assert hs == 1 or not has_m_scratch, "classic kernel is single-head"
 
     types = _tile_types(time_q, time_kv, block_q, block_k, causal)
     vp = _ones_column_pad(v)
@@ -279,29 +300,30 @@ def _run_fwd(kernel, q, k, v, time_q, time_kv, causal, sm_scale,
     # [B, H, 1, Lq] rows: the singleton 3rd dim satisfies Mosaic's
     # block-shape rule (last two block dims must divide (8, 128) or equal
     # the array's)
-    row_spec = pl.BlockSpec((1, 1, 1, block_q),
+    row_spec = pl.BlockSpec((1, hs, 1, block_q),
                             lambda b, h, i, j, types: (b, h, 0, i))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, h, nq, nk),
+        grid=(b, h // hs, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, types: (b, 0, i)),
             pl.BlockSpec((1, 1, block_k), lambda b, h, i, j, types: (b, 0, j)),
             *[row_spec] * len(extra_rows),
-            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j, types: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, types: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, block_k, vw),
+            pl.BlockSpec((1, hs, block_q, d), lambda b, h, i, j, types: (b, h, i, 0)),
+            pl.BlockSpec((1, hs, block_k, d), lambda b, h, i, j, types: (b, h, j, 0)),
+            pl.BlockSpec((1, hs, block_k, vw),
                          lambda b, h, i, j, types: (b, h, j, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j, types: (b, h, i, 0)),
+            pl.BlockSpec((1, hs, block_q, d), lambda b, h, i, j, types: (b, h, i, 0)),
             row_spec,
         ],
         scratch_shapes=(
-            # classic kernel: [running-max m, acc]; bounded: [acc]
-            ([pltpu.VMEM((block_q, NUM_LANES), jnp.float32)]
-             if has_m_scratch else [])
-            + [pltpu.VMEM((block_q, vw), jnp.float32)]
+            # classic kernel: [running-max m, acc]; bounded: [per-head acc]
+            ([pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+              pltpu.VMEM((block_q, vw), jnp.float32)]
+             if has_m_scratch else
+             [pltpu.VMEM((hs, block_q, vw), jnp.float32)])
         ),
     )
     o, lse = pl.pallas_call(
@@ -320,6 +342,18 @@ def _run_fwd(kernel, q, k, v, time_q, time_kv, causal, sm_scale,
     return o, lse[:, :, 0]
 
 
+def _bounded_hs(num_heads: int) -> int:
+    """Heads per grid cell for the bounded forward: 2 when the head count
+    allows (the measured ILP win — see _fwd_kernel_bounded), else 1.
+    PF_FLASH_HS overrides for A/B."""
+    import os
+    env = os.environ.get("PF_FLASH_HS")
+    if env:
+        hs = int(env)
+        return hs if num_heads % hs == 0 else 1
+    return 2 if num_heads % 2 == 0 else 1
+
+
 def _fwd_bounded(q, k, v, time_q, time_kv, causal, sm_scale, block_q, block_k):
     # per-row log2-domain score bound: |q_row| * max|k| * scale * log2(e)
     # (+1 margin for fp error in the norms/matmul). Pad keys are zeros, so
@@ -329,9 +363,11 @@ def _fwd_bounded(q, k, v, time_q, time_kv, causal, sm_scale, block_q, block_k):
     kn = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1))
     kmax = jnp.max(kn, axis=-1, keepdims=True)
     mb = (qn * kmax * jnp.float32(sm_scale * LOG2E) + 1.0)[:, :, None, :]
-    return _run_fwd(_fwd_kernel_bounded, q, k, v, time_q, time_kv, causal,
+    hs = _bounded_hs(q.shape[1])
+    return _run_fwd(functools.partial(_fwd_kernel_bounded, hs=hs),
+                    q, k, v, time_q, time_kv, causal,
                     sm_scale, block_q, block_k, extra_rows=(mb,),
-                    has_m_scratch=False)
+                    has_m_scratch=False, hs=hs)
 
 
 def bounded_softmax_overshoot(q, k, time_q, time_kv=None, *, causal=True,
@@ -680,6 +716,8 @@ def flash_attention(
     # 128-lane multiple that fits it (d=64 -> 128 lanes, d=128 -> 256)
 
     lq, lk = q.shape[2], k.shape[2]
+    is_bounded = _resolve_bounded(bounded)
+    hs = _bounded_hs(q.shape[1]) if is_bounded else 1
 
     def round_up(x, m):
         return -(-x // m) * m
@@ -691,13 +729,18 @@ def flash_attention(
         # (768p units, L>=10k) and (1024, 512) beats (512, 1024) by ~2% at
         # short L (384p, L~3.2k). Larger q-tiles amortize the per-row
         # prefetch; smart tile-typing makes the extra q padding free (pure
-        # pad q-tiles skip).
+        # pad q-tiles skip). The hs=2 bounded kernel keeps the same bk
+        # optima (swept in tools/exp_flash_h2.py).
         big = 1024 if l > 4096 else 512
         return min(big, round_up(max(l, 128), 128))
 
     def auto_block_q(l):
         lp = round_up(max(l, 128), 128)
-        return min(2048 if l > 4096 else 1024, lp)
+        # hs=2 doubles the per-cell VMEM (two q/k/v/acc sets): bq=2048
+        # exceeds scoped VMEM at d=64, and (1024, 1024) measured fastest
+        # anyway (1.124x over the hs=1 kernel at the 768p layout)
+        cap = 1024 if hs > 1 else (2048 if l > 4096 else 1024)
+        return min(cap, lp)
 
     import os
     env_blk = os.environ.get("PF_FLASH_BLOCK")
@@ -726,7 +769,7 @@ def flash_attention(
     tkp = _pad_to(time_kv.astype(jnp.int32), 1, bk, value=int(INVALID_TIME))
 
     o = _flash(qp, kp, vp, tqp, tkp, causal, float(sm_scale), bq, bk,
-               _resolve_bounded(bounded))
+               is_bounded)
     return o[:, :, :lq]
 
 

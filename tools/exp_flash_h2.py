@@ -42,10 +42,10 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-# ------------------------------------------------ h2 bounded forward kernel
-def _fwd_kernel_bounded_h2(types_ref, tq_ref, tk_ref, mb_ref, q_ref, k_ref,
+# --------------------------------------- multi-head-per-cell bounded forward
+def _fwd_kernel_bounded_hn(types_ref, tq_ref, tk_ref, mb_ref, q_ref, k_ref,
                            v_ref, o_ref, lse_ref, acc_scr,
-                           *, causal, sm_scale, num_k_blocks):
+                           *, causal, sm_scale, num_k_blocks, hs):
     b_idx = pl.program_id(0)
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
@@ -63,21 +63,19 @@ def _fwd_kernel_bounded_h2(types_ref, tq_ref, tk_ref, mb_ref, q_ref, k_ref,
             preferred_element_type=jnp.float32)
 
     def _update(mask):
-        # two independent chains, interleaved so the scheduler can overlap
-        # head-1 MXU work with head-0 VPU work
-        s0 = _scores(0)
-        s1 = _scores(1)
-        if mask is not None:
-            s0 = jnp.where(mask, s0, DEFAULT_MASK_VALUE)
-            s1 = jnp.where(mask, s1, DEFAULT_MASK_VALUE)
-        mb0 = mb_ref[0, 0, 0].reshape(-1, 1)
-        mb1 = mb_ref[0, 1, 0].reshape(-1, 1)
-        p0 = jnp.exp2(s0 - mb0).astype(v_ref.dtype)
-        acc_scr[0] += jax.lax.dot(p0, v_ref[0, 0],
-                                  preferred_element_type=jnp.float32)
-        p1 = jnp.exp2(s1 - mb1).astype(v_ref.dtype)
-        acc_scr[1] += jax.lax.dot(p1, v_ref[0, 1],
-                                  preferred_element_type=jnp.float32)
+        # hs independent chains, interleaved so the scheduler can overlap
+        # head (i+1)'s MXU work with head i's VPU (exp2) work
+        ss = []
+        for h in range(hs):
+            s = _scores(h)
+            if mask is not None:
+                s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+            ss.append(s)
+        for h in range(hs):
+            mb = mb_ref[0, h, 0].reshape(-1, 1)
+            p = jnp.exp2(ss[h] - mb).astype(v_ref.dtype)
+            acc_scr[h] += jax.lax.dot(p, v_ref[0, h],
+                                      preferred_element_type=jnp.float32)
 
     @pl.when(tt == TILE_FULL)
     def _full():
@@ -91,7 +89,7 @@ def _fwd_kernel_bounded_h2(types_ref, tq_ref, tk_ref, mb_ref, q_ref, k_ref,
 
     @pl.when(kv_idx == num_k_blocks - 1)
     def _finalize():
-        for hh in range(2):
+        for hh in range(hs):
             acc = acc_scr[hh]
             l = acc[:, acc.shape[-1] - 1:]
             l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
@@ -104,7 +102,7 @@ def _fwd_kernel_bounded_h2(types_ref, tq_ref, tk_ref, mb_ref, q_ref, k_ref,
 
 
 def flash_h2(q, k, v, time_q, time_kv=None, *, causal=True, sm_scale=None,
-             block_q=2048, block_k=1024):
+             block_q=2048, block_k=1024, return_lse=False, hs=2):
     if time_kv is None:
         time_kv = time_q
     if sm_scale is None:
@@ -119,7 +117,7 @@ def flash_h2(q, k, v, time_q, time_kv=None, *, causal=True, sm_scale=None,
                       value=int(INVALID_TIME))
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    assert h % 2 == 0
+    assert h % hs == 0
     nq, nk = lq // block_q, lk // block_k
 
     types = _tile_types(time_q, time_kv, block_q, block_k, causal)
@@ -131,29 +129,29 @@ def flash_h2(q, k, v, time_q, time_kv=None, *, causal=True, sm_scale=None,
     kmax = jnp.max(kn, axis=-1, keepdims=True)
     mb = (qn * kmax * jnp.float32(sm_scale * LOG2E) + 1.0)[:, :, None, :]
 
-    row_spec = pl.BlockSpec((1, 2, 1, block_q),
+    row_spec = pl.BlockSpec((1, hs, 1, block_q),
                             lambda b, h, i, j, types: (b, h, 0, i))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, h // 2, nq, nk),
+        grid=(b, h // hs, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, t: (b, 0, i)),
             pl.BlockSpec((1, 1, block_k), lambda b, h, i, j, t: (b, 0, j)),
             row_spec,
-            pl.BlockSpec((1, 2, block_q, d), lambda b, h, i, j, t: (b, h, i, 0)),
-            pl.BlockSpec((1, 2, block_k, d), lambda b, h, i, j, t: (b, h, j, 0)),
-            pl.BlockSpec((1, 2, block_k, vw),
+            pl.BlockSpec((1, hs, block_q, d), lambda b, h, i, j, t: (b, h, i, 0)),
+            pl.BlockSpec((1, hs, block_k, d), lambda b, h, i, j, t: (b, h, j, 0)),
+            pl.BlockSpec((1, hs, block_k, vw),
                          lambda b, h, i, j, t: (b, h, j, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 2, block_q, d), lambda b, h, i, j, t: (b, h, i, 0)),
+            pl.BlockSpec((1, hs, block_q, d), lambda b, h, i, j, t: (b, h, i, 0)),
             row_spec,
         ],
-        scratch_shapes=[pltpu.VMEM((2, block_q, vw), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((hs, block_q, vw), jnp.float32)],
     )
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel_bounded_h2, causal=causal,
-                          sm_scale=float(sm_scale), num_k_blocks=nk),
+        functools.partial(_fwd_kernel_bounded_hn, causal=causal,
+                          sm_scale=float(sm_scale), num_k_blocks=nk, hs=hs),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
@@ -165,7 +163,28 @@ def flash_h2(q, k, v, time_q, time_kv=None, *, causal=True, sm_scale=None,
         ),
         interpret=_interpret(),
     )(types, time_q[:, None], time_kv[:, None], mb, q, k, vp)
+    if return_lse:
+        return o[:, :, :lq0], lse[:, :, 0, :lq0]
     return o[:, :, :lq0]
+
+
+def reference_lse(q, k, time_q, time_kv=None, *, causal=True, sm_scale=None):
+    """Natural-log row logsumexp with the oracle's mask semantics; empty
+    rows (no visible key) get the kernel's 3e38 sentinel (ADVICE r3)."""
+    if time_kv is None:
+        time_kv = time_q
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * sm_scale
+    valid_k = (time_kv != INVALID_TIME)[:, None, None, :]
+    if causal:
+        mask = valid_k & (
+            time_kv[:, None, None, :] <= time_q[:, None, :, None])
+    else:
+        mask = jnp.broadcast_to(valid_k, s.shape)
+    lse = jax.scipy.special.logsumexp(jnp.where(mask, s, -jnp.inf), axis=-1)
+    return jnp.where(jnp.any(mask, axis=-1), lse, jnp.float32(3e38))
 
 
 # -------------------------------------------------------------- harness
@@ -197,12 +216,17 @@ def layout_768p_stage2():
     budget = -(-(128 + cond) // 512) * 512
     pad = budget - 128 - cond
     L = budget + cur
+    # history built to EXACTLY cond elements (ceil-repeat then trim) so no
+    # intended current-clip token silently becomes padding (ADVICE r3)
+    hist = np.repeat(np.arange(1, 16, dtype=np.int32), -(-cond // 15))[:cond]
+    assert hist.shape[0] == cond, (hist.shape[0], cond)
     t = np.concatenate([
         np.zeros(128, np.int32),                     # text
-        np.repeat(np.arange(1, 16), cond // 15)[:cond].astype(np.int32),
+        hist,
         np.full(pad, INVALID_TIME, np.int32),
         np.full(cur, 16, np.int32),
     ])
+    assert t.shape[0] == L, (t.shape[0], L)
     rng = jax.random.PRNGKey(0)
     q = jax.random.normal(rng, (b, nh, L, d), jnp.bfloat16) * 0.3
     tq = jnp.asarray(t)[None].repeat(b, 0)
@@ -227,14 +251,30 @@ def main():
                         np.full(L - 64 - 384, INVALID_TIME, np.int32)])
     tq = jnp.asarray(t)[None].repeat(b, 0)
     for causal in (True, False):
-        got = flash_h2(q, k, v, tq, causal=causal, block_q=256, block_k=256)
+        got, got_lse = flash_h2(q, k, v, tq, causal=causal, block_q=256,
+                                block_k=256, return_lse=True)
         want = attention_reference(q, k, v, tq, causal=causal)
+        want_lse = reference_lse(q, k, tq, causal=causal)
         valid = (t != INVALID_TIME)
         err = jnp.max(jnp.abs(
             got[:, :, valid].astype(jnp.float32)
             - want[:, :, valid].astype(jnp.float32)))
-        log(f"correctness causal={causal}: max|err| = {err:.5f}")
+        lse_err = jnp.max(jnp.abs(got_lse[:, :, valid]
+                                  - want_lse[:, :, valid]))
+        log(f"correctness causal={causal}: max|err| = {err:.5f}, "
+            f"max|lse err| = {lse_err:.5f}")
         assert float(err) < 0.035, "h2 kernel mismatch"
+        assert float(lse_err) < 0.02, "h2 lse mismatch"
+
+    # empty-row 3e38 handling: every key invisible => lse sentinel, o == 0
+    tq_v = jnp.ones((b, L), jnp.int32)
+    tk_inv = jnp.full((b, L), INVALID_TIME, jnp.int32)
+    o_e, lse_e = flash_h2(q, k, v, tq_v, tk_inv, causal=False, block_q=256,
+                          block_k=256, return_lse=True)
+    assert bool(jnp.all(lse_e == jnp.float32(3e38))), "empty-row lse"
+    assert float(jnp.max(jnp.abs(o_e.astype(jnp.float32)))) == 0.0, \
+        "empty-row o"
+    log("correctness empty-row: lse==3e38, o==0 OK")
 
     # timing at the 768p stage-2 layout
     q, tq, L = layout_768p_stage2()
@@ -242,17 +282,20 @@ def main():
         lambda qq: flash_attention(qq, qq, qq, tq, causal=True, bounded=True),
         q, iters=args.iters)
     log(f"bounded (shipped)  L={L}: {base*1e3:.2f} ms")
-    for bq, bk in ((1024, 1024), (1024, 512), (512, 1024), (2048, 512),
-                   (512, 512)):
+    for hs, bq, bk in ((2, 1024, 1024), (2, 1024, 512), (2, 512, 1024),
+                       (2, 512, 512), (3, 1024, 512), (3, 512, 512),
+                       (4, 512, 512), (4, 1024, 512), (4, 512, 1024),
+                       (6, 512, 512)):
         try:
             t2 = time_chained(
                 lambda qq: flash_h2(qq, qq, qq, tq, causal=True,
-                                    block_q=bq, block_k=bk),
+                                    block_q=bq, block_k=bk, hs=hs),
                 q, iters=args.iters)
-            log(f"h2 bq={bq} bk={bk}  L={L}: {t2*1e3:.2f} ms "
+            log(f"h{hs} bq={bq} bk={bk}  L={L}: {t2*1e3:.2f} ms "
                 f"({base/t2:.3f}x vs shipped)")
         except Exception as e:
-            log(f"h2 bq={bq} bk={bk}: FAILED {type(e).__name__}: {e}")
+            log(f"h{hs} bq={bq} bk={bk}: FAILED {type(e).__name__}: "
+                f"{str(e)[:160]}")
 
     if args.full:
         # ceiling probe: every tile FULL (all same time id)
