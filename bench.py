@@ -180,33 +180,68 @@ def selfcheck(vae, vae_params):
         f.write(f"pass {time.time():.0f}\n")
 
 
-def _require_live_devices(timeout_s=240):
-    """Fail FAST and loud if the TPU tunnel is half-up (observed failure
-    mode: the PJRT plugin registers and the backend initializes, then the
-    first device operation blocks forever). A hung bench leaves the driver's
-    capture empty; a clean one-line verdict is diagnosable."""
+def _last_pass_path():
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp")
+    return os.path.join(cache_dir, "last_bench_pass.json")
+
+
+def _record_pass(payload):
+    """Remember the most recent successful bench verdict so a later tunnel
+    outage still leaves diagnosable evidence (VERDICT r3 #2)."""
+    try:
+        os.makedirs(os.path.dirname(_last_pass_path()), exist_ok=True)
+        with open(_last_pass_path(), "w") as f:
+            json.dump({"ts": time.time(), "jax": jax.__version__,
+                       "result": payload}, f)
+    except OSError as e:  # pragma: no cover
+        log(f"note: could not record last-pass metadata: {e}")
+
+
+def _require_live_devices(timeout_s=240, attempts=5, backoff_s=60):
+    """Fail loud — but not FAST-and-forfeit — if the TPU tunnel is half-up
+    (observed failure mode: the PJRT plugin registers and the backend
+    initializes, then the first device operation blocks forever). Round 3
+    lost its only perf artifact to a single-shot 240 s probe during a
+    transient outage; now the probe retries with backoff across ~20+ min
+    before giving up, and the final error line is accompanied by the last
+    cached PASS metadata for diagnosis."""
     import threading
 
-    result = {}
+    for attempt in range(1, attempts + 1):
+        result = {}
 
-    def probe():
-        try:
-            x = jnp.ones((8, 128)) @ jnp.ones((128, 8))
-            result["sum"] = float(jnp.sum(x))
-        except Exception as e:  # pragma: no cover - depends on runtime
-            result["err"] = repr(e)
+        def probe():
+            try:
+                x = jnp.ones((8, 128)) @ jnp.ones((128, 8))
+                result["sum"] = float(jnp.sum(x))
+            except Exception as e:  # pragma: no cover - depends on runtime
+                result["err"] = repr(e)
 
-    th = threading.Thread(target=probe, daemon=True)
-    th.start()
-    th.join(timeout_s)
-    if "sum" not in result:
-        log(f"FATAL: device probe did not complete within {timeout_s}s "
-            f"(err={result.get('err')}) — TPU tunnel down/half-up; "
-            "aborting instead of hanging")
-        print(json.dumps({
-            "metric": "error", "value": 0, "unit": "device_probe_timeout",
-            "vs_baseline": 0.0}), flush=True)
-        os._exit(2)
+        th = threading.Thread(target=probe, daemon=True)
+        th.start()
+        th.join(timeout_s)
+        if "sum" in result:
+            if attempt > 1:
+                log(f"device probe recovered on attempt {attempt}")
+            return
+        log(f"device probe attempt {attempt}/{attempts}: no response in "
+            f"{timeout_s}s (err={result.get('err')})")
+        if attempt < attempts:
+            log(f"retrying in {backoff_s}s — tunnel may be transient")
+            time.sleep(backoff_s)
+
+    try:  # surface the last good verdict for diagnosis (stderr only —
+        with open(_last_pass_path()) as f:  # the JSON stdout line stays
+            log(f"last cached PASS: {f.read().strip()}")  # the error)
+    except OSError:
+        log("no cached PASS metadata available")
+    log(f"FATAL: device probe failed {attempts}x over "
+        f"~{(attempts * (timeout_s + backoff_s)) // 60} min — TPU tunnel "
+        "down/half-up; aborting instead of hanging")
+    print(json.dumps({
+        "metric": "error", "value": 0, "unit": "device_probe_timeout",
+        "vs_baseline": 0.0}), flush=True)
+    os._exit(2)
 
 
 def main():
