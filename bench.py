@@ -331,8 +331,11 @@ def main():
         run()
         log(f"warmup (incl. compile): {time.time()-t0:.1f}s")
 
-    # compiles are done: tighten the hang watchdog back to 900 s for the
-    # timed run (the 1800 s arm at import covered selfcheck + warmup)
+    # compiles are done: re-arm the liveness probe (a tunnel that died
+    # during warmup should abort loudly here, not hang the timed run) and
+    # tighten the hang watchdog back to 900 s (the 1800 s arm at import
+    # covered selfcheck + warmup)
+    _require_live_devices(timeout_s=120, attempts=2)
     faulthandler.dump_traceback_later(900, repeat=True, file=sys.stderr)
     t0 = time.time()
     run()
@@ -347,12 +350,14 @@ def main():
     # since attention scales superlinearly in area.
     baseline = 330.0 * (temp / 16.0) * (height * width) / (768.0 * 1280.0)
     faulthandler.cancel_dump_traceback_later()  # keep the JSON line last
-    print(json.dumps({
+    payload = {
         "metric": f"t2v_{seconds:.0f}s_{height}p_wallclock",
         "value": round(elapsed, 2),
         "unit": "s",
         "vs_baseline": round(baseline / elapsed, 3),
-    }))
+    }
+    _record_pass(payload)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
