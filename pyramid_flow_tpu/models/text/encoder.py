@@ -36,6 +36,69 @@ def _load_tokenizer(path: str, kind: str):
     return T5TokenizerFast.from_pretrained(path)
 
 
+def _read_json(component_dir: Optional[str]):
+    if not component_dir:
+        return None
+    p = os.path.join(component_dir, "config.json")
+    if not os.path.isfile(p):
+        return None
+    import json
+    with open(p) as f:
+        return json.load(f)
+
+
+def clip_config_from_dir(component_dir: Optional[str],
+                         use_projection: Optional[bool] = None
+                         ) -> Optional[CLIPTextConfig]:
+    """Build a :class:`CLIPTextConfig` from a HF ``text_encoder*/config.json``
+    (the released checkpoints ship diffusers-style component dirs). Returns
+    None when no config file is present (caller falls back to the released
+    default sizes)."""
+    raw = _read_json(component_dir)
+    if raw is None:
+        return None
+    if use_projection is None:
+        use_projection = "WithProjection" in str(raw.get("architectures", ""))
+    base = CLIPTextConfig()
+    return CLIPTextConfig(
+        vocab_size=raw.get("vocab_size", base.vocab_size),
+        hidden_size=raw.get("hidden_size", base.hidden_size),
+        intermediate_size=raw.get("intermediate_size", base.intermediate_size),
+        num_layers=raw.get("num_hidden_layers", base.num_layers),
+        num_heads=raw.get("num_attention_heads", base.num_heads),
+        max_position_embeddings=raw.get("max_position_embeddings",
+                                        base.max_position_embeddings),
+        layer_norm_eps=raw.get("layer_norm_eps", base.layer_norm_eps),
+        eos_token_id=raw.get("eos_token_id", base.eos_token_id),
+        hidden_act=raw.get("hidden_act", base.hidden_act),
+        use_projection=use_projection,
+        projection_dim=raw.get("projection_dim", base.projection_dim))
+
+
+def t5_config_from_dir(component_dir: Optional[str]) -> Optional[T5Config]:
+    """Build a :class:`T5Config` from a HF ``text_encoder*/config.json``;
+    None when absent."""
+    raw = _read_json(component_dir)
+    if raw is None:
+        return None
+    base = T5Config()
+    return T5Config(
+        vocab_size=raw.get("vocab_size", base.vocab_size),
+        d_model=raw.get("d_model", base.d_model),
+        d_kv=raw.get("d_kv", base.d_kv),
+        d_ff=raw.get("d_ff", base.d_ff),
+        num_layers=raw.get("num_layers", base.num_layers),
+        num_heads=raw.get("num_heads", base.num_heads),
+        relative_attention_num_buckets=raw.get(
+            "relative_attention_num_buckets",
+            base.relative_attention_num_buckets),
+        relative_attention_max_distance=raw.get(
+            "relative_attention_max_distance",
+            base.relative_attention_max_distance),
+        layer_norm_epsilon=raw.get("layer_norm_epsilon",
+                                   base.layer_norm_epsilon))
+
+
 class FluxTextEncoder:
     """CLIP-L pooled + T5 sequence embeddings with mask.
 
@@ -46,13 +109,22 @@ class FluxTextEncoder:
     """
 
     def __init__(self, clip_params, t5_params, model_path: Optional[str] = None,
-                 clip_config: CLIPTextConfig = CLIPTextConfig(),
-                 t5_config: T5Config = T5Config(),
+                 clip_config: Optional[CLIPTextConfig] = None,
+                 t5_config: Optional[T5Config] = None,
                  tokenizers: Optional[Tuple] = None,
                  max_sequence_length: int = 128,
                  dtype=jnp.bfloat16):
-        self.clip = CLIPTextEncoder(config=clip_config, dtype=dtype)
-        self.t5 = T5Encoder(config=t5_config, dtype=dtype)
+        # config resolution: explicit arg > checkpoint dir config.json >
+        # released-size default (so non-default-sized checkpoints load)
+        if clip_config is None and model_path is not None:
+            clip_config = clip_config_from_dir(
+                os.path.join(model_path, "text_encoder"))
+        if t5_config is None and model_path is not None:
+            t5_config = t5_config_from_dir(
+                os.path.join(model_path, "text_encoder_2"))
+        self.clip = CLIPTextEncoder(config=clip_config or CLIPTextConfig(),
+                                    dtype=dtype)
+        self.t5 = T5Encoder(config=t5_config or T5Config(), dtype=dtype)
         self.clip_params = clip_params
         self.t5_params = t5_params
         self.max_sequence_length = max_sequence_length
@@ -96,10 +168,20 @@ class SD3TextEncoder:
                  tokenizers: Optional[Tuple] = None,
                  max_sequence_length: int = 128,
                  dtype=jnp.bfloat16):
+        cfg_l = cfg_g = cfg_t5 = None
+        if model_path is not None:
+            cfg_l = clip_config_from_dir(
+                os.path.join(model_path, "text_encoder"), use_projection=True)
+            cfg_g = clip_config_from_dir(
+                os.path.join(model_path, "text_encoder_2"),
+                use_projection=True)
+            cfg_t5 = t5_config_from_dir(
+                os.path.join(model_path, "text_encoder_3"))
         self.clip_l = CLIPTextEncoder(
-            config=CLIPTextConfig(use_projection=True), dtype=dtype)
-        self.clip_g = CLIPTextEncoder(config=CLIPTextConfig.clip_g(), dtype=dtype)
-        self.t5 = T5Encoder(config=T5Config(), dtype=dtype)
+            config=cfg_l or CLIPTextConfig(use_projection=True), dtype=dtype)
+        self.clip_g = CLIPTextEncoder(
+            config=cfg_g or CLIPTextConfig.clip_g(), dtype=dtype)
+        self.t5 = T5Encoder(config=cfg_t5 or T5Config(), dtype=dtype)
         self.clip_l_params = clip_l_params
         self.clip_g_params = clip_g_params
         self.t5_params = t5_params

@@ -194,6 +194,8 @@ class PyramidFlowPipeline:
             vae_cfg = load_model_config(
                 os.path.join(model_path, "causal_video_vae"), "vae")
             vae = CausalVideoVAE(config=vae_cfg, dtype=dtype)
+            # the latent width is a property of the checkpoint, not a knob
+            kwargs.setdefault("latent_channels", vae_cfg.latent_channels)
         return cls(dit, comps["dit"], vae, comps.get("vae"),
                    model_name=model_name, dtype=dtype, **kwargs)
 
