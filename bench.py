@@ -264,9 +264,12 @@ def main():
     if sp > 1 or fsdp > 1:
         from pyramid_flow_tpu.parallel.mesh import MeshConfig, make_mesh
         n = len(jax.devices())
-        assert n % (sp * fsdp) == 0, (n, sp, fsdp)
-        mesh = make_mesh(MeshConfig(dp=1, fsdp=fsdp, sp=sp))
-        log(f"mesh: dp=1 fsdp={fsdp} sp={sp}")
+        assert n >= sp * fsdp, (n, sp, fsdp)
+        # a PARTIAL-host mesh (e.g. BENCH_SP=2 on an 8-chip host) uses the
+        # first sp*fsdp chips — make_mesh wants the exact device count
+        mesh = make_mesh(MeshConfig(dp=1, fsdp=fsdp, sp=sp),
+                         devices=jax.devices()[: sp * fsdp])
+        log(f"mesh: dp=1 fsdp={fsdp} sp={sp} on {sp * fsdp}/{n} devices")
 
     cfg = FluxConfig()
     dit = PyramidFluxTransformer(config=cfg, dtype=jnp.bfloat16,
