@@ -246,3 +246,34 @@ def test_tile_types_pad_aware():
                                 causal=False))[0]
     assert (tn[3] == TILE_SKIP).all()
     assert (tn[:, 3] == TILE_SKIP).all()
+
+
+@pytest.mark.parametrize("h", [3, 2])
+def test_bounded_heads_per_cell_paths(h, monkeypatch):
+    """Both hs regimes of the bounded forward: odd head counts fall back to
+    hs=1 (the default tests all use even heads, which take the hs=2 ILP
+    path — a fallback regression would otherwise ship silently), and
+    PF_FLASH_HS must override cleanly. Forward AND gradients (the backward
+    consumes the hs-kernel's lse) vs the oracle."""
+    from pyramid_flow_tpu.ops.flash_attention import _bounded_hs
+
+    monkeypatch.setenv("PF_BOUNDED_SOFTMAX", "1")
+    assert _bounded_hs(3) == 1 and _bounded_hs(2) == 2
+    monkeypatch.setenv("PF_FLASH_HS", "1")
+    assert _bounded_hs(24) == 1
+    monkeypatch.delenv("PF_FLASH_HS")
+
+    q, k, v, t = make_inputs(jax.random.PRNGKey(7), h=h)
+    out = flash_attention(q, k, v, t, causal=True)
+    ref = attention_reference(q, k, v, t, causal=True)
+    valid = np.asarray(t[0]) != int(INVALID_TIME)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :, valid], np.asarray(ref)[:, :, valid], atol=2e-5)
+
+    vm = jnp.asarray(valid, jnp.float32)[None, None, :, None]
+    gf = jax.grad(lambda q: jnp.sum(
+        (flash_attention(q, k, v, t, causal=True) * vm) ** 2))(q)
+    gr = jax.grad(lambda q: jnp.sum(
+        (attention_reference(q, k, v, t, causal=True) * vm) ** 2))(q)
+    np.testing.assert_allclose(
+        np.asarray(gf)[:, :, valid], np.asarray(gr)[:, :, valid], atol=5e-4)
