@@ -95,17 +95,20 @@ class CausalConv3d(nn.Module):
                 x = jnp.concatenate([pad, x], axis=1)
 
         # Temporal-tap decomposition: a kt=3 stride-1 conv as 3 per-tap 2D
-        # convs summed. Measured on v5e at the 768p decode shapes: 77 vs 59
-        # TF/s for the 128-ch full-res block (the decode FLOPs hot spot) —
-        # XLA's 3D conv reloads MXU weights per (kt,kh,kw) tap; the 2D form
-        # halves the tap count per weight load. At 256/512 ch it is neutral
-        # to slightly worse, so gate on channel width.
+        # convs summed. Measured on v5e at the 768p decode shapes
+        # (tools/exp_conv_stack.py): 102 vs 73 TF/s at the 128-ch full-res
+        # block and 90 vs 76 TF/s at the 256-ch level — XLA's 3D conv
+        # reloads MXU weights per (kt,kh,kw) tap; the 2D form halves the
+        # tap count per weight load. At 512 ch conv3d wins (64 vs 61), so
+        # gate on channel width. (A third variant — the 3 taps stacked
+        # along channels as ONE 2D conv — measured worse everywhere except
+        # a noise-level 1.03x on the tiny 48px level; rejected.)
         import os as _os
 
         b = x.shape[0]
         t_out = x.shape[1] - (kt - 1)
-        if (kt == 3 and st == sh == sw == 1 and in_ch <= 128
-                and self.features <= 128 and t_out >= 1
+        if (kt == 3 and st == sh == sw == 1 and in_ch <= 256
+                and self.features <= 256 and t_out >= 1
                 and not _os.environ.get("PF_NO_TAP_DECOMP")):
             xp = jnp.pad(x.astype(self.dtype),
                          ((0, 0), (0, 0), (kh // 2, kh // 2),
