@@ -93,7 +93,7 @@ def selfcheck(vae, vae_params):
     if os.path.exists(marker):
         log(f"selfcheck: cached PASS for this (code, jax, chip) — skipping "
             f"({marker})")
-        return
+        return {"verdict": "PASS", "cached": True, "key": marker.rsplit("_", 1)[-1]}
     from pyramid_flow_tpu.models.vae.model import chunk_decode
     from pyramid_flow_tpu.ops.flash_attention import (
         INVALID_TIME, attention_reference, flash_attention)
@@ -183,6 +183,43 @@ def selfcheck(vae, vae_params):
         f"({time.time()-t0:.1f}s)")
     with open(marker, "w") as f:
         f.write(f"pass {time.time():.0f}\n")
+    return {"verdict": "PASS", "cached": False,
+            "seconds": round(time.time() - t0, 1),
+            "key": marker.rsplit("_", 1)[-1]}
+
+
+def _write_artifact(record):
+    """Persist the FULL bench verdict (breakdown, config, environment,
+    selfcheck/warmup/timed tail) to bench_artifacts/<metric>_<ts>.json so
+    every README perf claim has an auditable raw capture in-repo
+    (VERDICT r4 #1). The stdout JSON line stays the driver contract; this
+    file is the evidence trail."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    outdir = os.path.join(root, "bench_artifacts")
+    try:
+        os.makedirs(outdir, exist_ok=True)
+        ts = time.strftime("%Y%m%d_%H%M%S", time.gmtime(record["ts"]))
+        path = os.path.join(outdir, f"{record['result']['metric']}_{ts}.json")
+        with open(path, "w") as f:
+            json.dump(record, f, indent=2, sort_keys=True)
+            f.write("\n")
+        log(f"artifact: {path}")
+        return path
+    except OSError as e:  # pragma: no cover
+        log(f"note: could not write bench artifact: {e}")
+        return None
+
+
+def _git_head(root):
+    try:
+        with open(os.path.join(root, ".git", "HEAD")) as f:
+            head = f.read().strip()
+        if head.startswith("ref: "):
+            with open(os.path.join(root, ".git", head[5:])) as f:
+                return f.read().strip()
+        return head
+    except OSError:
+        return None
 
 
 def _last_pass_path():
@@ -303,8 +340,9 @@ def main():
     pipe = PyramidFlowPipeline(dit, dit_params, vae, vae_params,
                                latent_channels=16, dtype=jnp.bfloat16)
 
+    selfcheck_info = {"verdict": "SKIPPED"}
     if os.environ.get("BENCH_SELFCHECK", "1") != "0":
-        selfcheck(vae, vae_params)
+        selfcheck_info = selfcheck(vae, vae_params)
 
     rng = jax.random.PRNGKey(3)
     emb = jax.random.normal(jax.random.PRNGKey(4), (b, 128, 4096), jnp.bfloat16)
@@ -343,10 +381,12 @@ def main():
             f"{run.last_transfer_seconds:.1f}s")
         return out
 
+    warmup_s = None
     if os.environ.get("BENCH_SKIP_WARMUP") != "1":
         t0 = time.time()
         run()
-        log(f"warmup (incl. compile): {time.time()-t0:.1f}s")
+        warmup_s = round(time.time() - t0, 1)
+        log(f"warmup (incl. compile): {warmup_s}s")
 
     # compiles are done: re-arm the liveness probe (a tunnel that died
     # during warmup should abort loudly here, not hang the timed run) and
@@ -384,8 +424,50 @@ def main():
         "unit": "s",
         "vs_baseline": round(baseline / (elapsed - xfer), 3),
         "tunnel_transfer_s": round(xfer, 2),
+        # dual accounting (VERDICT r4 #2): rounds 1-2 reported the
+        # including-transfer number; ship both so any two rounds compare
+        "value_incl_transfer": round(elapsed, 2),
+        "vs_baseline_incl_transfer": round(baseline / elapsed, 3),
     }
     _record_pass(payload)
+    root = os.path.dirname(os.path.abspath(__file__))
+    dev = jax.devices()[0]
+    _write_artifact({
+        "ts": time.time(),
+        "result": payload,
+        "breakdown_s": {
+            "dit": round(elapsed - (dec or 0.0) - xfer, 2),
+            "vae_decode": round(dec, 2) if dec else None,
+            "tunnel_transfer": round(xfer, 2),
+            "total_incl_transfer": round(elapsed, 2),
+        },
+        "config": {
+            "temp": temp, "height": height, "width": width,
+            "sp": sp, "fsdp": fsdp, "video_seconds": round(seconds, 2),
+            "num_inference_steps": [20, 20, 20],
+            "video_num_inference_steps": [10, 10, 10],
+            "guidance_scale": 7.0, "video_guidance_scale": 5.0,
+            "save_memory": True, "dit": "FluxConfig() (miniFLUX release arch)",
+        },
+        "env": {k: v for k, v in os.environ.items()
+                if k.startswith(("BENCH_", "PF_"))},
+        "baseline": {
+            "seconds": round(baseline, 2),
+            "note": "reference 330 s for 5s 768x1280 on one A100 "
+                    "(/root/reference/README.md:218), prorated linearly by "
+                    "video length and latent area",
+        },
+        "selfcheck": selfcheck_info,
+        "warmup_incl_compile_s": warmup_s,
+        "platform": {
+            "jax": jax.__version__,
+            "device_kind": dev.device_kind,
+            "platform_version": str(getattr(dev.client, "platform_version",
+                                            None)),
+            "n_devices": len(jax.devices()),
+        },
+        "git_head": _git_head(root),
+    })
     print(json.dumps(payload))
 
 
