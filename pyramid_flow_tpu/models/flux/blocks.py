@@ -195,6 +195,15 @@ class JointAttention(nn.Module):
         q = apply_rope(q, rope_cos, rope_sin)
         k = apply_rope(k, rope_cos, rope_sin)
 
+        # training telemetry (no-op unless 'telemetry' is mutable): batch
+        # row 0's post-RoPE q/k feed bounded_softmax_overshoot — the live
+        # check that fine-tuned qk-norm gains stay inside the bounded
+        # kernel's exactness envelope (training/telemetry.py). Skipped at
+        # init (where EVERY collection is mutable) so param trees stay clean.
+        if not self.is_initializing():
+            self.sow("telemetry", "q", q[:1])
+            self.sow("telemetry", "k", k[:1])
+
         o = _dispatch_attention(q, k, v, time_ids, self.causal,
                                 self.head_dim ** -0.5, self.mesh)
         o = _unheads(o)
@@ -228,6 +237,9 @@ class SingleAttention(nn.Module):
         k = RMSNorm(param_dtype=self.param_dtype, name="norm_k")(k)
         q = apply_rope(q, rope_cos, rope_sin)
         k = apply_rope(k, rope_cos, rope_sin)
+        if not self.is_initializing():  # see JointAttention
+            self.sow("telemetry", "q", q[:1])
+            self.sow("telemetry", "k", k[:1])
         o = _dispatch_attention(q, k, v, time_ids, self.causal,
                                 self.head_dim ** -0.5, self.mesh)
         return _unheads(o)

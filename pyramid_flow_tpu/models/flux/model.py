@@ -191,7 +191,7 @@ class PyramidFluxTransformer(nn.Module):
 
         dual_scan = nn.scan(
             dual_cls,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "telemetry": 0},
             split_rngs={"params": True},
             in_axes=nn.broadcast,
             length=cfg.num_layers,
@@ -202,7 +202,7 @@ class PyramidFluxTransformer(nn.Module):
         h = jnp.concatenate([ctx, x], axis=1)
         single_scan = nn.scan(
             single_cls,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "telemetry": 0},
             split_rngs={"params": True},
             in_axes=nn.broadcast,
             length=cfg.num_single_layers,

@@ -63,6 +63,11 @@ class MMDiTJointAttention(nn.Module):
         k = apply_rope(jnp.concatenate([ck, k], axis=2), rope_cos, rope_sin)
         v = jnp.concatenate([cv, v], axis=2)
 
+        # bounded-kernel envelope telemetry (see flux/blocks.py JointAttention)
+        if not self.is_initializing():
+            self.sow("telemetry", "q", q[:1])
+            self.sow("telemetry", "k", k[:1])
+
         o = _dispatch_attention(q, k, v, time_ids, self.causal,
                                 self.head_dim ** -0.5, self.mesh)
         o = _unheads(o)

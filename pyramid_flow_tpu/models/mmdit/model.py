@@ -178,7 +178,7 @@ class PyramidDiffusionMMDiT(nn.Module):
             scan_cls = nn.remat(scan_cls, prevent_cse=False)
         scanned = nn.scan(
             scan_cls,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "telemetry": 0},
             split_rngs={"params": True},
             in_axes=nn.broadcast,
             length=cfg.num_layers - 1,

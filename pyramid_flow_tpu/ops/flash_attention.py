@@ -371,29 +371,49 @@ def _fwd_bounded(q, k, v, time_q, time_kv, causal, sm_scale, block_q, block_k):
 
 
 def bounded_softmax_overshoot(q, k, time_q, time_kv=None, *, causal=True,
-                              sm_scale=None):
+                              sm_scale=None, chunk=256):
     """Debug probe: max over valid rows of ``bound - true_max_score`` in
     log2 units. Exactness of the bounded kernel needs overshoot << ~120
     (bf16/fp32 exponent range); qk-normed heads sit in the low tens. If
     fine-tuning pushes qk-norm gains far enough that this grows toward
     ~100, set ``PF_BOUNDED_SOFTMAX=0`` for that run (see
-    :func:`_resolve_bounded`). Cheap enough to log periodically from a
-    training debug hook; not part of the hot path."""
+    :func:`_resolve_bounded`). Logged periodically by the training
+    telemetry hook (``training.telemetry.bound_overshoot_probe``); not part
+    of the hot path. Computed in q-row chunks of ``chunk`` so the score
+    matrix never materializes — usable at real (10k+) sequence lengths."""
     if time_kv is None:
         time_kv = time_q
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
-    qn = jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1))
-    kn = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1))
+    b, h, lq, d = q.shape
+    q32 = q.astype(jnp.float32)
+    k32 = k.astype(jnp.float32)
+    qn = jnp.sqrt(jnp.sum(jnp.square(q32), axis=-1))
+    kn = jnp.sqrt(jnp.sum(jnp.square(k32), axis=-1))
     mb = qn * jnp.max(kn, axis=-1, keepdims=True) * (sm_scale * LOG2E) + 1.0
-    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
-                   k.astype(jnp.float32)) * (sm_scale * LOG2E)
-    vis = (time_kv != INVALID_TIME)[:, None, None, :]
-    if causal:
-        vis = vis & (time_kv[:, None, None, :] <= time_q[:, None, :, None])
-    smax = jnp.max(jnp.where(vis, s, -jnp.inf), axis=-1)
-    valid_q = (time_q != INVALID_TIME)[:, None, :]
-    return jnp.max(jnp.where(valid_q, mb - smax, -jnp.inf))
+    # pad q rows to a chunk multiple; pad rows carry INVALID time ids so the
+    # final valid-row max ignores them
+    pad = (-lq) % chunk
+    qp = jnp.pad(q32, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    tqp = jnp.pad(time_q, ((0, 0), (0, pad)), constant_values=INVALID_TIME)
+    mbp = jnp.pad(mb, ((0, 0), (0, 0), (0, pad)))
+    n = (lq + pad) // chunk
+    qc = jnp.moveaxis(qp.reshape(b, h, n, chunk, d), 2, 0)
+    tc = jnp.moveaxis(tqp.reshape(b, n, chunk), 1, 0)
+    mbc = jnp.moveaxis(mbp.reshape(b, h, n, chunk), 2, 0)
+    vis_k = (time_kv != INVALID_TIME)[:, None, None, :]
+
+    def per_chunk(args):
+        qi, ti, mi = args
+        s = jnp.einsum("bhqd,bhkd->bhqk", qi, k32) * (sm_scale * LOG2E)
+        vis = vis_k
+        if causal:
+            vis = vis & (time_kv[:, None, None, :] <= ti[:, None, :, None])
+        smax = jnp.max(jnp.where(vis, s, -jnp.inf), axis=-1)
+        valid_q = (ti != INVALID_TIME)[:, None, :]
+        return jnp.max(jnp.where(valid_q, mi - smax, -jnp.inf))
+
+    return jnp.max(jax.lax.map(per_chunk, (qc, tc, mbc)))
 
 
 def _resolve_bounded(bounded):

@@ -95,6 +95,10 @@ def parse_args():
     p.add_argument("--save_ckpt_freq", type=int, default=1, help="epochs")
     p.add_argument("--auto_resume", action="store_true", default=True)
     p.add_argument("--print_freq", type=int, default=20)
+    p.add_argument("--bound_probe_freq", type=int, default=500,
+                   help="log train/bound_overshoot_log2 every N steps and "
+                        "warn when the bounded flash kernel's exactness "
+                        "envelope is at risk (0 disables)")
     p.add_argument("--tensorboard_dir", default=None,
                    help="write scalar summaries (torch SummaryWriter)")
     p.add_argument("--wandb_project", default=None)
@@ -218,6 +222,19 @@ def main():
             dit, sched, tuple(args.sample_ratios), args.use_temporal_pyramid,
             args.frame_per_unit, args.corrupt_ratio)
 
+        # bounded-kernel envelope telemetry (training/telemetry.py): a
+        # fine-tune that inflates qk-norm gains must announce itself before
+        # it drifts outside the bounded flash forward's exactness envelope
+        overshoot_probe = None
+        if args.bound_probe_freq:
+            from pyramid_flow_tpu.training.telemetry import (
+                make_bound_overshoot_probe, mmdit_pos_offset_fn)
+            pos_fn = None
+            if hasattr(dit.config, "pos_embed_max_size"):
+                pos_fn = mmdit_pos_offset_fn(dit.config.pos_embed_max_size)
+            overshoot_probe = make_bound_overshoot_probe(
+                dit, sched, pos_offset_fn=pos_fn)
+
         if args.anno_file:
             ds = LengthGroupedVideoTextDataset(
                 args.anno_file, args.max_frames,
@@ -313,6 +330,23 @@ def main():
                     sys.exit(1)
                 logger.update(step=step, **{k.split("/")[-1]: float(v)
                                             for k, v in metrics.items()})
+                if overshoot_probe is not None and \
+                        step % args.bound_probe_freq == 0:
+                    from pyramid_flow_tpu.training.telemetry import (
+                        OVERSHOOT_WARN_LOG2)
+                    over = float(overshoot_probe(
+                        state.params, batch["latents"], batch["text_emb"],
+                        batch["text_mask"], batch["pooled"],
+                        jax.random.fold_in(rng, step)))
+                    logger.update(step=step, bound_overshoot_log2=over)
+                    if over > OVERSHOOT_WARN_LOG2:
+                        logger.print_fn(
+                            f"WARNING: bounded-softmax overshoot {over:.0f} "
+                            f"log2 units (> {OVERSHOOT_WARN_LOG2:.0f}) — "
+                            "qk-norm gains are drifting out of the bounded "
+                            "kernel's exactness envelope; restart this run "
+                            "with PF_BOUNDED_SOFTMAX=0 (kernel choice is "
+                            "compiled into the running step)")
                 if step % args.print_freq == 0:
                     logger.print_fn(f"epoch {epoch} step {step}  {logger}")
                 step += 1
