@@ -114,6 +114,7 @@ class PyramidFlowPipeline:
         timestep_shift: float = 1.0,
         stage_range: Sequence[float] = (0, 1 / 3, 2 / 3, 1),
         scheduler_gamma: float = 1 / 3,
+        pos_embed_max_size: int = 192,
         dtype=jnp.bfloat16,
     ):
         self.dit = dit
@@ -141,7 +142,10 @@ class PyramidFlowPipeline:
             raise ValueError(f"unknown model_name {model_name}")
         self.vae_shift_factor, self.vae_scale_factor = LATENT_NORMS[model_name]
         self.vae_video_shift_factor, self.vae_video_scale_factor = VIDEO_NORM
-        self.pos_embed_max_size = 192  # SD3 sincos table size (mmdit only)
+        # SD3 sincos table size (mmdit only). Must match the DiT config's
+        # table, or the pipeline's crop origin indexes a different grid than
+        # the model built — from_pretrained forwards the checkpoint's value.
+        self.pos_embed_max_size = pos_embed_max_size
         self.MAX_STEPS = 64  # timestep-buffer size (dynamic trip count)
 
         self._denoise_jit = jax.jit(
@@ -186,9 +190,11 @@ class PyramidFlowPipeline:
                 config=load_model_config(dit_dir, "flux"), dtype=dtype,
                 mesh=mesh)
         else:
-            dit = PyramidDiffusionMMDiT(
-                config=load_model_config(dit_dir, "mmdit"), dtype=dtype,
-                mesh=mesh)
+            mmdit_cfg = load_model_config(dit_dir, "mmdit")
+            dit = PyramidDiffusionMMDiT(config=mmdit_cfg, dtype=dtype,
+                                        mesh=mesh)
+            kwargs.setdefault("pos_embed_max_size",
+                              mmdit_cfg.pos_embed_max_size)
         vae = None
         if load_vae:
             vae_cfg = load_model_config(
@@ -411,22 +417,9 @@ class PyramidFlowPipeline:
             rng, sub = jax.random.split(rng)
 
             # metadata from shapes only (host numpy)
-            shapes = self._stage_clip_shapes(b, h_lat, w_lat, unit_index, i_s)
-            shapes.append((b, fpu, h, w, c))
-            positions, time_ids, trainable = clip_metadata(shapes)
-            lc = positions.shape[0] - trainable
             budget = budgets[i_s]
-            assert lc <= budget, (lc, budget)
-            pad = budget - lc
-            if pad:
-                # pad BETWEEN cond and current (see _pack_cond: fewer
-                # MASKED tiles than a front pad)
-                positions = np.concatenate(
-                    [positions[:lc], np.zeros((pad, 3), np.float32),
-                     positions[lc:]], axis=0)
-                time_ids = np.concatenate(
-                    [time_ids[:lc], np.full((pad,), INVALID_TIME, np.int32),
-                     time_ids[lc:]], axis=0)
+            positions, time_ids, trainable = self._stage_metadata(
+                b, fpu, h_lat, w_lat, unit_index, i_s, budget)
 
             cond_tokens = (cond_tokens_per_stage[i_s]
                            if cond_tokens_per_stage is not None else None)
@@ -475,6 +468,33 @@ class PyramidFlowPipeline:
         return intermed
 
     # ------------------------------------------------------------ generate
+    def _stage_metadata(self, b: int, fpu: int, h_lat: int, w_lat: int,
+                        unit_index: int, stage: int, budget: int):
+        """Host-side (positions, time_ids, trainable) for one (unit, stage)
+        denoise program, padded to ``budget`` conditioning tokens. The pad
+        sits BETWEEN cond and the current clip (see ``_pack_cond``: fewer
+        MASKED flash tiles than a front pad). Shared by ``generate_one_unit``
+        and the real-config AOT-lowering test so the traced shapes have one
+        source of truth."""
+        from ..ops.flash_attention import INVALID_TIME
+
+        h = h_lat >> (self.num_stages - 1 - stage)
+        w = w_lat >> (self.num_stages - 1 - stage)
+        shapes = self._stage_clip_shapes(b, h_lat, w_lat, unit_index, stage)
+        shapes.append((b, fpu, h, w, self.latent_channels))
+        positions, time_ids, trainable = clip_metadata(shapes)
+        lc = positions.shape[0] - trainable
+        assert lc <= budget, (lc, budget)
+        pad = budget - lc
+        if pad:
+            positions = np.concatenate(
+                [positions[:lc], np.zeros((pad, 3), np.float32),
+                 positions[lc:]], axis=0)
+            time_ids = np.concatenate(
+                [time_ids[:lc], np.full((pad,), INVALID_TIME, np.int32),
+                 time_ids[lc:]], axis=0)
+        return positions, time_ids, trainable
+
     def _cond_token_budget(self, unit_index: int, h_lat: int, w_lat: int):
         """Per-stage conditioning-token budget at history length
         ``unit_index`` (token count of ``_stage_clip_shapes`` + rounding)."""
