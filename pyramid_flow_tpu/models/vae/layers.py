@@ -100,7 +100,10 @@ class CausalConv3d(nn.Module):
         # block and 90 vs 76 TF/s at the 256-ch level — XLA's 3D conv
         # reloads MXU weights per (kt,kh,kw) tap; the 2D form halves the
         # tap count per weight load. At 512 ch conv3d wins (64 vs 61), so
-        # gate on channel width. (A third variant — the 3 taps stacked
+        # gate on channel width. Measured shapes are the DECODE tiles; the
+        # gate also catches encoder/training call sites at <=256 ch, where
+        # the same fewer-weight-reloads argument applies but throughput was
+        # not separately measured. (A third variant — the 3 taps stacked
         # along channels as ONE 2D conv — measured worse everywhere except
         # a noise-level 1.03x on the tiny 48px level; rejected.)
         import os as _os

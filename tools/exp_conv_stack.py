@@ -124,7 +124,9 @@ def main():
             log(f"{name:12s} {vname:10s} {dt*1e3:8.2f} ms  "
                 f"{flops/dt/1e12:6.1f} TF/s  (rel err {err:.4f})")
         best = min(results, key=results.get)
-        cur = "tap_summed" if c <= 128 else "conv3d"
+        # 'current' mirrors the production gate in models/vae/layers.py
+        # (tap decomposition at <=256 ch) so re-runs report a true baseline
+        cur = "tap_summed" if c <= 256 else "conv3d"
         log(f"{name:12s} VERDICT: best={best} "
             f"({results[cur]/results[best]:.3f}x vs current '{cur}')")
 
