@@ -339,6 +339,9 @@ def main():
 
     pipe = PyramidFlowPipeline(dit, dit_params, vae, vae_params,
                                latent_channels=16, dtype=jnp.bfloat16)
+    # the pipeline must be the SOLE owner or release_dit_before_decode
+    # can't actually free the HBM (refcounted device buffers)
+    del dit_params
 
     selfcheck_info = {"verdict": "SKIPPED"}
     if os.environ.get("BENCH_SELFCHECK", "1") != "0":
@@ -368,6 +371,12 @@ def main():
             guidance_scale=7.0, video_guidance_scale=5.0,
             output_type="pixels", save_memory=True,
             progress_callback=cb,
+            # reference parity: the torch pipeline offloads the DiT to host
+            # RAM before VAE decode (:1208-1216); freeing its HBM lets the
+            # decode run full-height window-1 strips (1.09x redundancy)
+            # instead of 384px tiles (1.25x). Params are re-initialized
+            # between runs below.
+            release_dit_before_decode=True,
         )
         # force full materialization on host, timed separately: on the
         # tunneled dev chip this device->host copy of the uint8 frames runs
@@ -387,6 +396,16 @@ def main():
         run()
         warmup_s = round(time.time() - t0, 1)
         log(f"warmup (incl. compile): {warmup_s}s")
+
+    if pipe.dit_params is None:
+        # the run released the DiT before decode; rebuild identical params
+        # (same PRNGKey) for the timed run — on a host-attached TPU this is
+        # the reference's host->device re-upload, here a device-side re-init
+        t0 = time.time()
+        pipe.dit_params = jax.jit(dit.init)(
+            jax.random.PRNGKey(0), tok, pos, tm, text, mask, pooled,
+            jnp.zeros((b,)))
+        log(f"dit re-init after release: {time.time()-t0:.1f}s")
 
     # compiles are done: re-arm the liveness probe (a tunnel that died
     # during warmup should abort loudly here, not hang the timed run) and

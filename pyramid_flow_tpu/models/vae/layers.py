@@ -177,6 +177,12 @@ class GroupNorm(nn.Module):
         return causal_group_norm(x, scale, bias, self.num_groups, self.eps)
 
 
+# Above this many tokens (= H*W pixels per frame), SpatialAttention chunks
+# its queries instead of materializing the full [hw, hw] fp32 score matrix.
+# Module-level so tests can lower it and prove chunked == direct.
+ATTN_CHUNK_TOKENS = 4096
+
+
 class SpatialAttention(nn.Module):
     """Per-frame single-head spatial self-attention with residual.
 
@@ -205,9 +211,28 @@ class SpatialAttention(nn.Module):
         v = dense("to_v")(y)
 
         scale = c ** -0.5
-        attn = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn * scale, axis=-1).astype(y.dtype)
-        y = jnp.einsum("bqk,bkc->bqc", attn, v)
+        hw = h * w
+        if hw > ATTN_CHUNK_TOKENS:
+            # big frames (untiled/strip 768p decode: hw up to 15360) would
+            # materialize an [hw, hw] fp32 score matrix (~1 GB); chunk the
+            # queries so peak is [chunk, hw] instead. lax.map keeps the
+            # chunks sequential so XLA reuses the score buffer.
+            ck = next(d for d in range(min(2048, hw), 0, -1) if hw % d == 0)
+            qc = q.reshape(b * t, hw // ck, ck, c).transpose(1, 0, 2, 3)
+
+            def one_chunk(qi):
+                a = jnp.einsum("bqc,bkc->bqk", qi, k,
+                               preferred_element_type=jnp.float32)
+                a = jax.nn.softmax(a * scale, axis=-1).astype(y.dtype)
+                return jnp.einsum("bqk,bkc->bqc", a, v)
+
+            y = jax.lax.map(one_chunk, qc).transpose(1, 0, 2, 3).reshape(
+                b * t, hw, c)
+        else:
+            attn = jnp.einsum("bqc,bkc->bqk", q, k,
+                              preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(attn * scale, axis=-1).astype(y.dtype)
+            y = jnp.einsum("bqk,bkc->bqc", attn, v)
         y = dense("to_out")(y)
         y = y.reshape(b, t, h, w, c)
         return residual + y

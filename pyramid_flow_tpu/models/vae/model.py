@@ -261,17 +261,27 @@ def _jitted_window(model, method_name: str):
                 v, x, is_init=is_init, temporal_chunk=True,
                 method=getattr(model, method_name), mutable=["cache"])
 
-        fn = jax.jit(apply_window, static_argnames=("is_init",))
+        # The carry (last-2-frames per temporal conv) is dead once the next
+        # window's carry is computed — donate it so XLA writes the new carry
+        # in place instead of holding both (at full-frame 768p the carry set
+        # is multiple GB; callers never reuse a consumed carry).
+        fn = jax.jit(apply_window, static_argnames=("is_init",),
+                     donate_argnums=(1,))
         _WINDOW_JIT_CACHE[key] = fn
     return fn
 
 
-def _window_starts(num_frames: int, window: int):
-    """Chunk boundaries: first window is ``window+1`` frames, then ``window``
-    (reference ``chunk_encode`` `modeling_causal_vae.py:310-341`)."""
-    init = window + 1
+def _window_starts(num_frames: int, window: int, init_window: int = None):
+    """Chunk boundaries: first window is ``init_window`` frames (default
+    ``window+1``, the reference split — `modeling_causal_vae.py:310-341`),
+    then ``window``. Streaming is exact under ANY split (the causal carry
+    reproduces the monolithic receptive field), so decode uses
+    ``init_window=1``: the init program is tiny, every continuation window
+    has one uniform shape, and peak live activation drops by ~1/3 (the
+    reference's ``window+1`` first chunk is the high-water mark)."""
+    init = window + 1 if init_window is None else init_window
     starts = [(0, min(init, num_frames))]
-    fid = init
+    fid = starts[0][1]
     while fid < num_frames:
         starts.append((fid, min(fid + window, num_frames)))
         fid += window
@@ -295,9 +305,14 @@ def chunk_encode(model, variables, x, window_size: int = 16):
     return jnp.concatenate(outs, axis=1)
 
 
-def chunk_decode(model, variables, z, window_size: int = 2):
-    """Sliding-window decode with carry threading (reference :346-374)."""
-    spans = _window_starts(z.shape[1], window_size)
+def chunk_decode(model, variables, z, window_size: int = 2,
+                 init_window: int = 1):
+    """Sliding-window decode with carry threading (reference :346-374).
+
+    ``init_window=1`` (default; the reference uses ``window+1``) keeps the
+    first window at its numerically-identical minimum — see
+    ``_window_starts`` for why."""
+    spans = _window_starts(z.shape[1], window_size, init_window)
     outs = []
     cache = {}
     fn = _jitted_window(model, "decode")
@@ -397,6 +412,74 @@ def tiled_decode(model, variables, z, tile_sample_min_size=256,
         return _jitted_plain(model, "decode")(variables, tile)
 
     return _tiled_apply(z, tile_latent, tile_sample_min_size, overlap_factor, dec)
+
+
+def plan_axis(extent: int, tile_max: int, min_overlap: int = 6):
+    """Uniform exact-cover tiling plan for one spatial axis (in latent px).
+
+    Returns ``(tile, positions)`` where every tile is ``tile`` wide,
+    positions are evenly strided integers, the last tile ends flush at
+    ``extent``, and neighbor overlap is >= ``min_overlap``. Unlike the
+    reference's fixed-stride walk (`modeling_causal_vae.py:468-519`), which
+    leaves ragged edge tiles (each a separately compiled program) and up to
+    1.25x redundancy at 768p, a planned axis compiles ONE tile shape and
+    pays only the minimum overlap the seam blend needs.
+    """
+    if tile_max >= extent:
+        return extent, [0]
+    n = -(-(extent - min_overlap) // (tile_max - min_overlap))  # ceil
+    while True:
+        tile = -(-(extent + (n - 1) * min_overlap) // n)
+        while (extent - tile) % (n - 1):  # integral stride
+            tile += 1
+        if tile <= tile_max:
+            break
+        n += 1
+    stride = (extent - tile) // (n - 1)
+    return tile, [i * stride for i in range(n)]
+
+
+def tiled_decode_planned(model, variables, z, tile_h: int, tile_w: int,
+                         min_overlap: int = 6, window_size: int = 2,
+                         _decode_fn=None):
+    """Chunk-decode uniform planned tiles, blend seams, stitch.
+
+    ``tile_h``/``tile_w`` are per-axis MAXIMUM tile sizes in latent px —
+    passing ``tile_h >= z.shape[2]`` gives full-height column strips (one
+    seam axis, ~1.04-1.09x redundancy at 768p vs 1.25x for the reference
+    walk). Blending matches the reference's linear crossfade semantics.
+    ``_decode_fn`` overrides the per-tile decoder (tests use a positional
+    fake to prove the stitch arithmetic exactly).
+    """
+    ds = model.config.downsample_scale
+    th, hpos = plan_axis(z.shape[2], tile_h, min_overlap)
+    tw, wpos = plan_axis(z.shape[3], tile_w, min_overlap)
+    dec = _decode_fn or (lambda tile: chunk_decode(
+        model, variables, tile, window_size))
+
+    tiles = {}
+    for i in hpos:
+        for j in wpos:
+            tiles[(i, j)] = dec(z[:, :, i:i + th, j:j + tw])
+
+    rows = []
+    for ii, i in enumerate(hpos):
+        row = []
+        for jj, j in enumerate(wpos):
+            t = tiles[(i, j)]
+            if ii > 0:
+                ov_h = (hpos[ii - 1] + th - i) * ds
+                t = _blend_axis(tiles[(hpos[ii - 1], j)], t, ov_h, 2)
+            if jj > 0:
+                ov_w = (wpos[jj - 1] + tw - j) * ds
+                t = _blend_axis(tiles[(i, wpos[jj - 1])], t, ov_w, 3)
+            lim_h = ((hpos[ii + 1] - i) * ds if ii + 1 < len(hpos)
+                     else t.shape[2])
+            lim_w = ((wpos[jj + 1] - j) * ds if jj + 1 < len(wpos)
+                     else t.shape[3])
+            row.append(t[:, :, :lim_h, :lim_w])
+        rows.append(jnp.concatenate(row, axis=3))
+    return jnp.concatenate(rows, axis=2)
 
 
 def reconstruct(model, variables, x, *, rng=None, window_size: int = 16,

@@ -52,24 +52,32 @@ def _device_hbm_gb() -> float:
     return 16.0
 
 
-def decode_settings(save_memory: bool, hbm_gb: float) -> dict:
+def decode_settings(save_memory: bool, hbm_gb: float,
+                    dit_resident: bool = True) -> dict:
     """Pick VAE-decode tiling from the chip's HBM capacity (VERDICT r2 #9).
 
     The measured v5e-16GB sweet spots are the floor; a big-HBM chip (v5p
     95 GB — the BASELINE hardware) skips the memory dodges entirely:
 
-    * 16 GB + save_memory: 384px tiles / 1-8 overlap / window 2 — measured
-      optimum that coexists with the resident 5.8 GB DiT (512px tiles + w2
-      decode 7% faster VAE-alone but OOM with the DiT resident; window 1,
-      the reference's dodge at :1232-1236, costs 4% for nothing). Untiled
-      whole-frame windows are ~7x a 384px tile, so untiled falls back to
-      window 1, and frames beyond a 96x96 latent (768x768 px) must tile.
+    * 16 GB + save_memory + DiT resident: 384px tiles / 1-8 overlap /
+      window 2 — measured optimum that coexists with the resident 5.8 GB
+      DiT (512px tiles + w2 decode 7% faster VAE-alone but OOM with the
+      DiT resident; window 1, the reference's dodge at :1232-1236, costs
+      4% for nothing). Untiled whole-frame windows are ~7x a 384px tile,
+      so untiled falls back to window 1, and frames beyond a 96x96 latent
+      (768x768 px) must tile.
+    * 16 GB + DiT released (``generate(release_dit_before_decode=True)``
+      dropped the transformer the way the reference moves it to host RAM
+      before decoding, `pyramid_dit_for_video_gen_pipeline.py:1208-1216`):
+      a ``px_window_budget`` (latent px x window frames per program,
+      measured OOM wall on v5e) buys the least-redundant plan that fits —
+      full-height window-1 column strips at 768p (1.09x redundancy vs the
+      1.25x reference walk), untiled window-2 at 384p.
     * >=48 GB: 512px tiles, window 2 everywhere, and whole frames up to a
       192x192 latent (1536px) decode untiled — the overlap recompute and
       per-tile dispatch chain disappear at the sizes that OOM a v5e.
 
-    Pure function of (save_memory, hbm_gb) for unit-testing with mocked
-    capacities.
+    Pure function of its arguments for unit-testing with mocked capacities.
     """
     big = hbm_gb >= 48.0
     if not save_memory:
@@ -79,6 +87,16 @@ def decode_settings(save_memory: bool, hbm_gb: float) -> dict:
     if big:
         return {"tile": 512, "overlap": 0.125, "window": 2,
                 "untiled_window": 2, "untiled_max_latent": 192}
+    if not dit_resident:
+        # measured on v5e (tools/exp_vae_tiling.py + isolated-process strip
+        # probes): 96x48 latent @ window 2 (9216 px-windows) decodes,
+        # 96x58 @ w2 (11136) OOMs. Window-1 halves the budget need but
+        # costs ~14% per px (measured 9.85 s vs 8.65 s expected at w58), so
+        # the planner prefers w2 at every rung.
+        return {"px_window_budget": 9216,
+                # fallback walk for extreme shapes the planner can't fit
+                "tile": 384, "overlap": 0.125, "window": 2,
+                "untiled_window": 1, "untiled_max_latent": 96}
     # v5e 16 GB floor: the reference tiles at 256px with 1/4 overlap under
     # save_memory because its DiT is offloaded to host RAM on consumer GPUs;
     # on TPU the DiT stays resident — 384px tiles with 1/8 overlap are the
@@ -532,6 +550,7 @@ class PyramidFlowPipeline:
         save_memory: bool = True,
         input_image_latent: Optional[jnp.ndarray] = None,
         progress_callback=None,
+        release_dit_before_decode: bool = False,
     ):
         """Text-to-video (reference ``generate`` :1005-1219); pass
         ``input_image_latent`` ([B,1,h,w,C], already normalized) for i2v
@@ -642,6 +661,16 @@ class PyramidFlowPipeline:
         t_gen_done = _time.time()
         if output_type == "latent":
             return latents_full
+        if release_dit_before_decode:
+            # the reference moves the DiT to host RAM before decoding
+            # (pipeline :1208-1216) to hand the VAE its memory; on TPU the
+            # equivalent is dropping the device buffers — decode_settings
+            # then plans bigger, less-redundant windows into the freed HBM.
+            # One-shot semantics: the caller must re-assign ``dit_params``
+            # (re-upload/re-init) before the next generate().
+            self.dit_params = None
+            import gc as _gc
+            _gc.collect()
         if progress_callback is not None:
             progress_callback({"phase": "decode", "unit": len(unit_range),
                                "units": len(unit_range)})
@@ -661,15 +690,42 @@ class PyramidFlowPipeline:
     def decode_latent(self, latents, save_memory: bool = True):
         """Un-normalize + chunked (and optionally tiled) causal VAE decode
         (reference :1221-1243). Returns uint8 frames [B, F, H, W, 3]."""
-        from ..models.vae.model import chunk_decode, tiled_decode
+        from ..models.vae.model import (chunk_decode, tiled_decode,
+                                        tiled_decode_planned)
 
         assert self.vae is not None, "pipeline built without a VAE"
         z = self.denormalize_latent(latents).astype(jnp.float32)
-        s = decode_settings(save_memory, _device_hbm_gb())
+        s = decode_settings(save_memory, _device_hbm_gb(),
+                            dit_resident=self.dit_params is not None)
+        hl, wl = z.shape[2], z.shape[3]
+        budget = s.get("px_window_budget")
+        if budget is not None and (hl * wl <= budget or budget // hl >= 64):
+            # memory-planned decode (16 GB class, DiT released): spend the
+            # measured budget on the least-redundant plan that fits.
+            # Window 2 beats window 1 at equal coverage (~14% per px,
+            # measured), so every rung tries w2 first.
+            if hl * wl * 2 <= budget:
+                img = chunk_decode(self.vae, self.vae_params, z,
+                                   window_size=2)
+            elif hl * wl <= budget:
+                img = chunk_decode(self.vae, self.vae_params, z,
+                                   window_size=1)
+            elif budget // (hl * 2) >= 32:
+                # full-height window-2 column strips (one seam axis): at
+                # 768p, 4x 46-wide strips = 1.15x redundancy, 27.6 s vs
+                # 29.9 s for the reference-style 384px walk (measured)
+                img = tiled_decode_planned(
+                    self.vae, self.vae_params, z, tile_h=hl,
+                    tile_w=budget // (hl * 2), window_size=2)
+            else:
+                # very tall frames: window-1 strips before giving up
+                img = tiled_decode_planned(
+                    self.vae, self.vae_params, z, tile_h=hl,
+                    tile_w=budget // hl, window_size=1)
         # Tile only when a whole frame would blow HBM — untiled avoids the
         # overlap recompute and the per-tile dispatch chain (the reference
         # always tiles because consumer GPUs are small).
-        if z.shape[2] * z.shape[3] > s["untiled_max_latent"] ** 2:
+        elif hl * wl > s["untiled_max_latent"] ** 2:
             img = tiled_decode(self.vae, self.vae_params, z,
                                tile_sample_min_size=s["tile"],
                                temporal_chunk=True, window_size=s["window"],

@@ -284,3 +284,45 @@ def test_decode_settings_capacity_derived():
     for gb in (16.0, 95.0):
         s = decode_settings(save_memory=False, hbm_gb=gb)
         assert s["untiled_window"] == 2 and s["tile"] == 512
+
+
+def test_decode_settings_dit_released():
+    """With the DiT released before decode (the reference's pre-decode CPU
+    offload, pipeline :1208-1216), the 16 GB plan switches to the measured
+    px-window budget: full-height window-1 strips at 768p, untiled window-2
+    at 384p. Big-HBM chips never need the budget."""
+    from pyramid_flow_tpu.pipeline.pyramid_pipeline import decode_settings
+
+    rel = decode_settings(save_memory=True, hbm_gb=16.0, dit_resident=False)
+    budget = rel["px_window_budget"]
+    assert budget >= 7680
+    # 768p latent 96x160: untiled doesn't fit, strips do
+    assert 96 * 160 > budget and budget // 96 >= 32
+    # 384p latent 48x80: untiled window-2 fits outright
+    assert 48 * 80 * 2 <= budget
+    # resident and big-HBM plans carry no budget (previous behavior)
+    assert "px_window_budget" not in decode_settings(True, 16.0)
+    assert "px_window_budget" not in decode_settings(True, 95.0, False)
+
+
+def test_generate_release_dit_before_decode(pipeline, monkeypatch):
+    """release_dit_before_decode drops the DiT params after denoise so the
+    VAE decode can spend the freed HBM (one-shot semantics)."""
+    import pyramid_flow_tpu.pipeline.pyramid_pipeline as pp
+
+    monkeypatch.setattr(pp, "_device_hbm_gb", lambda: 16.0)
+    saved = pipeline.dit_params
+    try:
+        emb, mask, pooled = _text_inputs()
+        out = pipeline.generate(
+            jax.random.PRNGKey(5), emb, mask, pooled,
+            emb * 0, mask, pooled * 0,
+            height=64, width=64, temp=1,
+            num_inference_steps=[1, 1, 1],
+            video_num_inference_steps=[1, 1, 1],
+            output_type="pixels", release_dit_before_decode=True,
+        )
+        assert out.shape == (1, 1, 64, 64, 3) and out.dtype == jnp.uint8
+        assert pipeline.dit_params is None  # released
+    finally:
+        pipeline.dit_params = saved  # module-scoped fixture: restore

@@ -20,7 +20,9 @@ from pyramid_flow_tpu.models.vae.model import (
     gaussian_kl,
     gaussian_mode,
     gaussian_sample,
+    plan_axis,
     tiled_decode,
+    tiled_decode_planned,
     tiled_encode,
 )
 
@@ -96,6 +98,94 @@ def test_chunk_decode_matches_monolithic(vae_and_params):
     chunked = chunk_decode(model, variables, z, window_size=2)
     assert chunked.shape == mono.shape
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(mono), atol=2e-4)
+
+
+def test_chunk_decode_any_split_is_exact(vae_and_params):
+    """Streaming is exact under ANY window split: the production decode
+    uses a 1-frame init window (memory high-water fix) instead of the
+    reference's ``window+1`` first chunk — both must equal monolithic."""
+    model, variables = vae_and_params
+    z = jax.random.normal(jax.random.PRNGKey(7), (1, 6, 4, 4, 4))
+    mono = model.apply(variables, z, method=model.decode)
+    for iw in (1, 2, 3):
+        chunked = chunk_decode(model, variables, z, window_size=2,
+                               init_window=iw)
+        assert chunked.shape == mono.shape, iw
+        np.testing.assert_allclose(
+            np.asarray(chunked), np.asarray(mono), atol=2e-4,
+            err_msg=f"init_window={iw}")
+
+
+def test_plan_axis_properties():
+    """Planned tiling: uniform tile size, even integral stride, exact flush
+    cover, overlap >= the blend minimum."""
+    for extent in (12, 48, 96, 157, 160):
+        for tile_max in (8, 20, 48, 83, 200):
+            for ov in (2, 6):
+                if tile_max <= ov:
+                    continue
+                tile, pos = plan_axis(extent, tile_max, ov)
+                assert pos[0] == 0 and pos[-1] + tile == extent
+                if len(pos) == 1:
+                    assert tile == extent
+                else:
+                    assert tile <= tile_max
+                    strides = {b - a for a, b in zip(pos, pos[1:])}
+                    assert len(strides) == 1, (extent, tile_max, ov, pos)
+                    assert tile - strides.pop() >= ov
+
+
+def test_planned_stitch_positions_exact(vae_and_params):
+    """Prove the planned-tile stitch arithmetic with a positional fake
+    decoder (nearest-neighbor 8x upsample): overlapping tiles then see
+    IDENTICAL pixels, so blending is a no-op and any position/crop bug
+    shows up as a hard mismatch."""
+    model, _ = vae_and_params
+    ds = model.config.downsample_scale
+
+    def fake(tile):
+        up = jnp.repeat(jnp.repeat(tile[..., :3], ds, axis=2), ds, axis=3)
+        return up
+
+    z = jax.random.normal(jax.random.PRNGKey(11), (1, 2, 12, 20, 4))
+    ref = fake(z)
+    for th, tw in [(8, 9), (12, 7), (5, 20), (12, 20)]:
+        out = tiled_decode_planned(model, None, z, tile_h=th, tile_w=tw,
+                                   min_overlap=2, _decode_fn=fake)
+        assert out.shape == ref.shape, (th, tw)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6, err_msg=f"tile {th}x{tw}")
+
+
+@pytest.mark.slow
+def test_planned_strip_decode_shapes(vae_and_params):
+    """Real decoder through the planned path: full-height window-1 strips
+    (the released-DiT 768p plan) produce the right geometry and finite
+    pixels."""
+    model, variables = vae_and_params
+    z = jax.random.normal(jax.random.PRNGKey(12), (1, 3, 8, 16, 4))
+    out = tiled_decode_planned(model, variables, z, tile_h=8, tile_w=10,
+                               min_overlap=2, window_size=1)
+    assert out.shape == (1, 17, 64, 128, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_spatial_attention_chunked_matches_direct(monkeypatch):
+    """The big-frame chunked-query attention path (peak-memory fix for
+    untiled/strip decode) must be bit-for-bit the math of the direct path:
+    lower the chunk threshold so a small frame takes the chunked branch and
+    compare against the same frame through the direct branch."""
+    import pyramid_flow_tpu.models.vae.layers as L
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 8, 12, 32))
+    attn = L.SpatialAttention(num_groups=4)
+    variables = attn.init(jax.random.PRNGKey(4), x)
+    direct = attn.apply(variables, x)
+
+    monkeypatch.setattr(L, "ATTN_CHUNK_TOKENS", 16)
+    chunked = attn.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(direct),
+                               atol=1e-6)
 
 
 def test_gaussian_helpers():

@@ -1,7 +1,8 @@
 """Experiment: kt=3 causal conv as ONE stacked-channel 2D conv.
 
-The decoder's kt=3 stride-1 convs currently run as either XLA conv3d
-(256/512 ch) or 3 per-tap 2D convs summed (<=128 ch, `models/vae/layers.py`).
+The decoder's kt=3 stride-1 convs run as either XLA conv3d (512 ch) or 3
+per-tap 2D convs summed (<=256 ch since round 4, `models/vae/layers.py`;
+the gate was <=128 when this experiment was first written).
 Hypothesis: stacking the 3 temporal taps along the channel axis and running
 ONE 2D conv with C_in' = 3*C_in raises MXU arithmetic intensity per output
 tile (one weight load + one output write instead of three of each), so it

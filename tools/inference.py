@@ -87,7 +87,7 @@ def main():
 
     vae = CausalVideoVAE(config=VAEConfig(), dtype=dtype)
     pipe = PyramidFlowPipeline(
-        dit, comps["dit"], vae, comps.get("vae"),
+        dit, comps.pop("dit"), vae, comps.get("vae"),
         model_name=args.model_name, dtype=dtype)
 
     # text encoding
@@ -109,6 +109,10 @@ def main():
         guidance_scale=args.guidance_scale,
         video_guidance_scale=args.video_guidance_scale,
         output_type="pixels", save_memory=args.save_memory,
+        # one-shot CLI: drop the DiT from HBM before VAE decode (the
+        # reference's pre-decode CPU offload, pipeline :1208-1216) so the
+        # decode gets the less-redundant memory plan
+        release_dit_before_decode=True,
     )
     if args.input_image:
         img = Image.open(args.input_image).convert("RGB").resize(
