@@ -39,6 +39,8 @@ def _tiny_state():
     return dit, state
 
 
+@pytest.mark.slow  # two full generate() passes (~58 s); EMA export/load
+# weight selection stays fast via test_ema_export_roundtrip
 def test_from_train_state_selects_ema():
     dit, state = _tiny_state()
     raw = PyramidFlowPipeline.from_train_state(

@@ -143,6 +143,8 @@ def test_pack_clips():
     assert pos[:8, 1].max() <= 3.0 and pos[:8, 1].min() >= 0.0
 
 
+@pytest.mark.slow  # builds + runs a second model variant (~30 s); the
+# default (guidance-free) forward stays fast via test_forward_shape
 def test_guidance_embeds_variant():
     """Guidance-distilled temb (reference
     CombinedTimestepGuidanceTextProjEmbeddings, modeling_embedding.py:161):

@@ -100,6 +100,9 @@ def test_chunk_decode_matches_monolithic(vae_and_params):
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(mono), atol=2e-4)
 
 
+@pytest.mark.slow  # sweeps every split point (~37 s); the single-split
+# exactness case stays fast via test_chunk_decode_matches_monolithic's
+# planned-stitch sibling (test_planned_stitch_positions_exact)
 def test_chunk_decode_any_split_is_exact(vae_and_params):
     """Streaming is exact under ANY window split: the production decode
     uses a 1-frame init window (memory high-water fix) instead of the
